@@ -1,0 +1,458 @@
+"""Instance data model: points, tracks, instances, labeled frames.
+
+Rebuild of the reference object model (``/root/reference/sleap/instance.py``:
+``Point:37``, ``PredictedPoint:98``, ``Track:310``, ``Instance:344``,
+``PredictedInstance:995``, ``LabeledFrame:1429``). Fresh numpy-first design:
+points live in structured arrays whose dtypes match the ``.slp`` on-disk
+tables exactly, so serialization is a concatenation, not a conversion.
+NaN coordinates mean "missing point" (reference convention, instance.py:79).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import attr
+import numpy as np
+
+from sleap_tpu.core.skeleton import Node, Skeleton
+
+# On-disk-compatible structured dtypes (see /root/reference/sleap/io/format/
+# hdf5.py:146-149 table layout).
+POINT_DTYPE = np.dtype(
+    [("x", "<f8"), ("y", "<f8"), ("visible", "?"), ("complete", "?")]
+)
+PRED_POINT_DTYPE = np.dtype(
+    [("x", "<f8"), ("y", "<f8"), ("visible", "?"), ("complete", "?"), ("score", "<f8")]
+)
+
+
+def make_point(
+    x: float = math.nan,
+    y: float = math.nan,
+    visible: bool = True,
+    complete: bool = False,
+) -> np.void:
+    """A single point record (structured scalar)."""
+    return np.array([(x, y, visible, complete)], dtype=POINT_DTYPE)[0]
+
+
+def make_pred_point(
+    x: float = math.nan,
+    y: float = math.nan,
+    visible: bool = True,
+    complete: bool = False,
+    score: float = 0.0,
+) -> np.void:
+    return np.array([(x, y, visible, complete, score)], dtype=PRED_POINT_DTYPE)[0]
+
+
+def empty_points(n: int, predicted: bool = False) -> np.ndarray:
+    """Structured point array of length ``n`` with NaN/invisible entries."""
+    dtype = PRED_POINT_DTYPE if predicted else POINT_DTYPE
+    pts = np.zeros(n, dtype=dtype)
+    pts["x"] = np.nan
+    pts["y"] = np.nan
+    pts["visible"] = False
+    return pts
+
+
+@attr.s(auto_attribs=True, eq=False, slots=True)
+class Track:
+    """An identity that persists across frames (reference instance.py:310)."""
+
+    spawned_on: int = 0
+    name: str = ""
+
+    def matches(self, other: "Track") -> bool:
+        return self.name == other.name and self.spawned_on == other.spawned_on
+
+    def __repr__(self) -> str:
+        return f"Track(spawned_on={self.spawned_on}, name={self.name!r})"
+
+
+class Instance:
+    """One animal in one frame: a skeleton plus a structured point array.
+
+    Reference analog: ``/root/reference/sleap/instance.py:344``.
+    """
+
+    predicted = False
+
+    def __init__(
+        self,
+        skeleton: Skeleton,
+        points: Optional[Union[np.ndarray, Dict[str, Any], Sequence]] = None,
+        track: Optional[Track] = None,
+        from_predicted: Optional["PredictedInstance"] = None,
+        frame: Optional["LabeledFrame"] = None,
+    ):
+        if skeleton is None:
+            raise TypeError("Instance requires a skeleton.")
+        self.skeleton = skeleton
+        self.track = track
+        self.from_predicted = from_predicted
+        self.frame = frame
+        self.points = self._coerce_points(points)
+
+    # ------------------------------------------------------------------ #
+    def _point_dtype(self) -> np.dtype:
+        return POINT_DTYPE
+
+    def _coerce_points(self, points) -> np.ndarray:
+        n = self.skeleton.n_nodes
+        dtype = self._point_dtype()
+        if points is None:
+            return empty_points(n, predicted=self.predicted)
+        if isinstance(points, np.ndarray) and points.dtype == dtype:
+            if len(points) != n:
+                raise ValueError(
+                    f"Point array length {len(points)} != n_nodes {n}."
+                )
+            return points.copy()
+        if isinstance(points, dict):
+            # {node name -> (x, y) | point record}
+            pts = empty_points(n, predicted=self.predicted)
+            names = self.skeleton.node_names
+            for key, val in points.items():
+                name = key.name if isinstance(key, Node) else key
+                if name not in names:
+                    raise KeyError(f"{name} is not a node in the skeleton.")
+                i = names.index(name)
+                if isinstance(val, np.void):
+                    pts[i] = val
+                else:
+                    x, y = val[0], val[1]
+                    pts[i] = (
+                        (x, y, True, False)
+                        if not self.predicted
+                        else (x, y, True, False, val[2] if len(val) > 2 else 0.0)
+                    )
+            return pts
+        # (n_nodes, 2) coordinate array
+        arr = np.asarray(points, dtype="f8")
+        if arr.ndim == 2 and arr.shape[0] == n and arr.shape[1] >= 2:
+            pts = empty_points(n, predicted=self.predicted)
+            pts["x"] = arr[:, 0]
+            pts["y"] = arr[:, 1]
+            pts["visible"] = ~(np.isnan(arr[:, 0]) | np.isnan(arr[:, 1]))
+            return pts
+        raise TypeError(f"Cannot construct points from {type(points)}.")
+
+    # ------------------------------------------------------------------ #
+    # Point access
+    # ------------------------------------------------------------------ #
+    def __getitem__(self, node: Union[str, Node, int]) -> np.void:
+        if isinstance(node, (list, tuple)) and not isinstance(node, str):
+            return np.array([self[n] for n in node], dtype=self.points.dtype)
+        return self.points[self._node_index(node)]
+
+    def __setitem__(self, node: Union[str, Node, int], value) -> None:
+        i = self._node_index(node)
+        if isinstance(value, np.void):
+            self.points[i] = value
+        else:
+            self.points[i]["x"] = value[0]
+            self.points[i]["y"] = value[1]
+            self.points[i]["visible"] = not (
+                np.isnan(value[0]) or np.isnan(value[1])
+            )
+
+    def _node_index(self, node: Union[str, Node, int]) -> int:
+        if isinstance(node, int):
+            return node
+        if isinstance(node, Node):
+            return self.skeleton.node_to_index(node)
+        return self.skeleton.node_names.index(node)
+
+    def __contains__(self, node: Union[str, Node]) -> bool:
+        try:
+            i = self._node_index(node)
+        except (ValueError, KeyError):
+            return False
+        return bool(self.points[i]["visible"]) or not np.isnan(self.points[i]["x"])
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    @property
+    def nodes(self) -> List[Node]:
+        """Nodes that have a non-missing point."""
+        mask = ~np.isnan(self.points["x"])
+        return [n for n, m in zip(self.skeleton.nodes, mask) if m]
+
+    @property
+    def n_visible_points(self) -> int:
+        return int(np.count_nonzero(self.points["visible"]))
+
+    # ------------------------------------------------------------------ #
+    # Array views
+    # ------------------------------------------------------------------ #
+    def numpy(self, invisible_as_nan: bool = True) -> np.ndarray:
+        """(n_nodes, 2) float array of xy; missing/invisible → NaN."""
+        xy = np.stack([self.points["x"], self.points["y"]], axis=-1).astype("f8")
+        if invisible_as_nan:
+            xy[~self.points["visible"]] = np.nan
+        return xy
+
+    def points_array(self, *a, **k) -> np.ndarray:
+        return self.numpy()
+
+    def transform_points(self, transformation_matrix: np.ndarray) -> None:
+        """Apply a 2x2 or 3x3 transform to the xy coordinates in place."""
+        xy = self.numpy(invisible_as_nan=False)
+        if transformation_matrix.shape == (3, 3):
+            ones = np.ones((len(xy), 1))
+            xy = np.concatenate([xy, ones], axis=1) @ transformation_matrix.T
+            xy = xy[:, :2]
+        else:
+            xy = xy @ transformation_matrix.T
+        self.points["x"] = xy[:, 0]
+        self.points["y"] = xy[:, 1]
+
+    @property
+    def centroid(self) -> np.ndarray:
+        """Mean of visible points (reference instance.py:867)."""
+        pts = self.numpy()
+        return np.nanmean(pts, axis=0)
+
+    @property
+    def bounding_box(self) -> np.ndarray:
+        """[y1, x1, y2, x2] over visible points (reference instance.py:878)."""
+        pts = self.numpy()
+        return np.array(
+            [
+                np.nanmin(pts[:, 1]),
+                np.nanmin(pts[:, 0]),
+                np.nanmax(pts[:, 1]),
+                np.nanmax(pts[:, 0]),
+            ]
+        )
+
+    @property
+    def midpoint(self) -> np.ndarray:
+        """Middle of the bounding box."""
+        y1, x1, y2, x2 = self.bounding_box
+        return np.array([(x1 + x2) / 2.0, (y1 + y2) / 2.0])
+
+    @property
+    def video(self):
+        return self.frame.video if self.frame is not None else None
+
+    @property
+    def frame_idx(self) -> Optional[int]:
+        return self.frame.frame_idx if self.frame is not None else None
+
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_numpy(
+        cls,
+        points: np.ndarray,
+        skeleton: Skeleton,
+        track: Optional[Track] = None,
+    ) -> "Instance":
+        """Build from an (n_nodes, 2) array; NaN rows are missing."""
+        return cls(skeleton=skeleton, points=np.asarray(points), track=track)
+
+    def matches(self, other: "Instance") -> bool:
+        if type(self) is not type(other):
+            return False
+        if not self.skeleton.matches(other.skeleton):
+            return False
+        a, b = self.numpy(), other.numpy()
+        if a.shape != b.shape:
+            return False
+        return bool(np.all(np.isclose(a, b, equal_nan=True)))
+
+    def __repr__(self) -> str:
+        return (
+            f"Instance(video={self.video}, frame_idx={self.frame_idx}, "
+            f"points={self.n_visible_points}/{len(self)}, track={self.track})"
+        )
+
+
+class PredictedInstance(Instance):
+    """Model-predicted instance with scores (reference instance.py:995)."""
+
+    predicted = True
+
+    def __init__(
+        self,
+        skeleton: Skeleton,
+        points: Optional[Union[np.ndarray, Dict[str, Any], Sequence]] = None,
+        track: Optional[Track] = None,
+        score: float = 0.0,
+        tracking_score: float = 0.0,
+        frame: Optional["LabeledFrame"] = None,
+    ):
+        super().__init__(skeleton=skeleton, points=points, track=track, frame=frame)
+        self.score = float(score)
+        self.tracking_score = float(tracking_score)
+
+    def _point_dtype(self) -> np.dtype:
+        return PRED_POINT_DTYPE
+
+    @property
+    def scores(self) -> np.ndarray:
+        """(n_nodes,) per-point confidences; NaN where missing."""
+        s = self.points["score"].astype("f8").copy()
+        s[~self.points["visible"]] = np.nan
+        return s
+
+    def points_and_scores_array(self) -> np.ndarray:
+        """(n_nodes, 3) array of x, y, score (reference instance.py:1035)."""
+        xy = self.numpy()
+        return np.concatenate([xy, self.scores[:, None]], axis=1)
+
+    @classmethod
+    def from_arrays(
+        cls,
+        points: np.ndarray,
+        point_confidences: np.ndarray,
+        instance_score: float,
+        skeleton: Skeleton,
+        track: Optional[Track] = None,
+        tracking_score: float = 0.0,
+    ) -> "PredictedInstance":
+        """Build from (n_nodes, 2) xy + (n_nodes,) confidences.
+
+        Reference analog: instance.py:1080 ``PredictedInstance.from_arrays``.
+        """
+        points = np.asarray(points, dtype="f8")
+        confs = np.asarray(point_confidences, dtype="f8").reshape(-1)
+        n = len(points)
+        pts = empty_points(n, predicted=True)
+        pts["x"] = points[:, 0]
+        pts["y"] = points[:, 1]
+        pts["visible"] = ~(np.isnan(points[:, 0]) | np.isnan(points[:, 1]))
+        pts["score"] = np.where(np.isnan(confs), 0.0, confs)
+        return cls(
+            skeleton=skeleton,
+            points=pts,
+            track=track,
+            score=float(instance_score),
+            tracking_score=tracking_score,
+        )
+
+    from_numpy = from_arrays  # alias matching reference instance.py:1164
+
+    @classmethod
+    def from_instance(cls, instance: Instance, score: float) -> "PredictedInstance":
+        xy = instance.numpy()
+        conf = np.ones(len(xy))
+        return cls.from_arrays(xy, conf, score, instance.skeleton, track=instance.track)
+
+    def __repr__(self) -> str:
+        return (
+            f"PredictedInstance(video={self.video}, frame_idx={self.frame_idx}, "
+            f"points={self.n_visible_points}/{len(self)}, score={self.score:.2f}, "
+            f"track={self.track})"
+        )
+
+
+class LabeledFrame:
+    """All instances labeled/predicted in one video frame.
+
+    Reference analog: ``/root/reference/sleap/instance.py:1429``.
+    """
+
+    def __init__(
+        self,
+        video: Any,
+        frame_idx: int,
+        instances: Optional[Iterable[Instance]] = None,
+    ):
+        self.video = video
+        self.frame_idx = int(frame_idx)
+        self._instances: List[Instance] = []
+        if instances:
+            for inst in instances:
+                self.insert_instance(inst)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def instances(self) -> List[Instance]:
+        return self._instances
+
+    @instances.setter
+    def instances(self, value: Iterable[Instance]) -> None:
+        self._instances = []
+        for inst in value:
+            self.insert_instance(inst)
+
+    def insert_instance(self, instance: Instance, index: Optional[int] = None) -> None:
+        instance.frame = self
+        if index is None:
+            self._instances.append(instance)
+        else:
+            self._instances.insert(index, instance)
+
+    def remove_instance(self, instance: Instance) -> None:
+        self._instances.remove(instance)
+        instance.frame = None
+
+    def __len__(self) -> int:
+        return len(self._instances)
+
+    def __getitem__(self, i: int) -> Instance:
+        return self._instances[i]
+
+    def __iter__(self):
+        return iter(self._instances)
+
+    @property
+    def user_instances(self) -> List[Instance]:
+        return [i for i in self._instances if not i.predicted]
+
+    @property
+    def predicted_instances(self) -> List["PredictedInstance"]:
+        return [i for i in self._instances if i.predicted]
+
+    @property
+    def training_instances(self) -> List[Instance]:
+        return [i for i in self.user_instances if i.n_visible_points > 0]
+
+    @property
+    def has_user_instances(self) -> bool:
+        return len(self.user_instances) > 0
+
+    @property
+    def has_predicted_instances(self) -> bool:
+        return len(self.predicted_instances) > 0
+
+    @property
+    def has_tracked_instances(self) -> bool:
+        return any(i.track is not None for i in self._instances)
+
+    @property
+    def tracked_instances(self) -> List[Instance]:
+        return [i for i in self._instances if i.track is not None]
+
+    @property
+    def unused_predictions(self) -> List["PredictedInstance"]:
+        """Predictions not linked from any user instance in this frame."""
+        used = {id(i.from_predicted) for i in self.user_instances if i.from_predicted}
+        return [p for p in self.predicted_instances if id(p) not in used]
+
+    @property
+    def image(self) -> np.ndarray:
+        return self.video.get_frame(self.frame_idx)
+
+    def numpy(self) -> np.ndarray:
+        """(n_instances, n_nodes, 2) stacked point coordinates."""
+        if not self._instances:
+            return np.zeros((0, 0, 2))
+        return np.stack([i.numpy() for i in self._instances], axis=0)
+
+    def remove_untracked(self) -> None:
+        self._instances = [i for i in self._instances if i.track is not None]
+
+    def remove_empty_instances(self) -> None:
+        self._instances = [i for i in self._instances if i.n_visible_points > 0]
+
+    def __repr__(self) -> str:
+        return (
+            f"LabeledFrame(video={getattr(self.video, 'filename', self.video)}, "
+            f"frame_idx={self.frame_idx}, instances={len(self._instances)})"
+        )

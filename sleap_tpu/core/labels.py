@@ -1,0 +1,437 @@
+"""Labels: the project/dataset container.
+
+Rebuild of ``/root/reference/sleap/io/dataset.py:389`` (``Labels``) with the
+same surface: a sequence of :class:`LabeledFrame` plus registries of videos,
+skeletons, tracks, and labeling suggestions, with fast frame lookup indices
+(the reference's ``LabelsDataCache``, dataset.py:97).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import MutableSequence
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+
+import attr
+import numpy as np
+
+from sleap_tpu.core.instance import Instance, LabeledFrame, PredictedInstance, Track
+from sleap_tpu.core.skeleton import Node, Skeleton
+from sleap_tpu.io.video import Video
+
+
+@attr.s(auto_attribs=True, eq=False)
+class SuggestionFrame:
+    """A frame suggested for labeling (reference dataset.py suggestions)."""
+
+    video: Video
+    frame_idx: int
+    group: Optional[int] = None
+
+
+class Labels(MutableSequence):
+    """Dataset of labeled frames plus shared metadata registries."""
+
+    def __init__(
+        self,
+        labeled_frames: Optional[List[LabeledFrame]] = None,
+        videos: Optional[List[Video]] = None,
+        skeletons: Optional[List[Skeleton]] = None,
+        tracks: Optional[List[Track]] = None,
+        suggestions: Optional[List[SuggestionFrame]] = None,
+        negative_anchors: Optional[Dict[Video, list]] = None,
+        provenance: Optional[Dict[str, Any]] = None,
+    ):
+        self.labeled_frames: List[LabeledFrame] = list(labeled_frames or [])
+        self.videos: List[Video] = list(videos or [])
+        self.skeletons: List[Skeleton] = list(skeletons or [])
+        self.tracks: List[Track] = list(tracks or [])
+        self.suggestions: List[SuggestionFrame] = list(suggestions or [])
+        self.negative_anchors: Dict[Video, list] = negative_anchors or {}
+        self.provenance: Dict[str, Any] = provenance or {}
+        self._update_registries()
+        self._rebuild_cache()
+
+    # ------------------------------------------------------------------ #
+    # Cache / registries
+    # ------------------------------------------------------------------ #
+    def _update_registries(self) -> None:
+        """Collect videos/skeletons/tracks referenced by frames."""
+        for lf in self.labeled_frames:
+            if lf.video is not None and lf.video not in self.videos:
+                self.videos.append(lf.video)
+            for inst in lf.instances:
+                if inst.skeleton is not None and inst.skeleton not in self.skeletons:
+                    self.skeletons.append(inst.skeleton)
+                if inst.track is not None and inst.track not in self.tracks:
+                    self.tracks.append(inst.track)
+
+    def _rebuild_cache(self) -> None:
+        self._lf_by_video: Dict[int, Dict[int, LabeledFrame]] = {}
+        for lf in self.labeled_frames:
+            self._lf_by_video.setdefault(id(lf.video), {})[lf.frame_idx] = lf
+
+    def update_cache(self) -> None:
+        self._update_registries()
+        self._rebuild_cache()
+
+    # ------------------------------------------------------------------ #
+    # MutableSequence interface
+    # ------------------------------------------------------------------ #
+    def __len__(self) -> int:
+        return len(self.labeled_frames)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self.labeled_frames[key]
+        if isinstance(key, slice):
+            return self.labeled_frames[key]
+        if isinstance(key, Video):
+            return self.find(video=key)
+        if isinstance(key, tuple) and len(key) == 2 and isinstance(key[0], Video):
+            if np.isscalar(key[1]):
+                out = self.find(video=key[0], frame_idx=int(key[1]))
+                return out[0] if out else None
+            return self.find(video=key[0], frame_idx=key[1])
+        if isinstance(key, (list, np.ndarray)):
+            return [self.labeled_frames[int(i)] for i in key]
+        raise KeyError(f"Invalid label indexing arguments: {key!r}")
+
+    def __setitem__(self, i: int, value: LabeledFrame) -> None:
+        self.labeled_frames[i] = value
+        self.update_cache()
+
+    def __delitem__(self, i: int) -> None:
+        del self.labeled_frames[i]
+        self.update_cache()
+
+    def __contains__(self, item) -> bool:
+        if isinstance(item, LabeledFrame):
+            return item in self.labeled_frames
+        if isinstance(item, Video):
+            return item in self.videos
+        if isinstance(item, Skeleton):
+            return item in self.skeletons
+        if isinstance(item, tuple) and len(item) == 2:
+            return bool(self.find(video=item[0], frame_idx=item[1]))
+        return False
+
+    def insert(self, index: int, value: LabeledFrame) -> None:
+        self.labeled_frames.insert(index, value)
+        self.update_cache()
+
+    def append(self, value: LabeledFrame) -> None:
+        self.labeled_frames.append(value)
+        if value.video is not None and value.video not in self.videos:
+            self.videos.append(value.video)
+        for inst in value.instances:
+            if inst.skeleton not in self.skeletons:
+                self.skeletons.append(inst.skeleton)
+            if inst.track is not None and inst.track not in self.tracks:
+                self.tracks.append(inst.track)
+        self._lf_by_video.setdefault(id(value.video), {})[value.frame_idx] = value
+
+    def extend(self, values: Iterable[LabeledFrame]) -> None:
+        for v in values:
+            self.append(v)
+
+    # ------------------------------------------------------------------ #
+    # Lookup
+    # ------------------------------------------------------------------ #
+    def find(
+        self,
+        video: Video,
+        frame_idx: Optional[Union[int, Iterable[int]]] = None,
+        return_new: bool = False,
+    ) -> List[LabeledFrame]:
+        """Frames in ``video`` (optionally at specific indices).
+
+        Reference analog: dataset.py:933.
+        """
+        by_idx = self._lf_by_video.get(id(video), {})
+        if frame_idx is None:
+            return sorted(by_idx.values(), key=lambda lf: lf.frame_idx)
+        if np.isscalar(frame_idx):
+            frame_idx = [int(frame_idx)]
+        out = []
+        for fi in frame_idx:
+            fi = int(fi)
+            if fi in by_idx:
+                out.append(by_idx[fi])
+            elif return_new:
+                out.append(LabeledFrame(video=video, frame_idx=fi))
+        return out
+
+    def find_first(
+        self, video: Video, frame_idx: Optional[int] = None, use_cache: bool = True
+    ) -> Optional[LabeledFrame]:
+        out = self.find(video, frame_idx)
+        return out[0] if out else None
+
+    def find_last(self, video: Video, frame_idx: Optional[int] = None) -> Optional[LabeledFrame]:
+        out = self.find(video, frame_idx)
+        return out[-1] if out else None
+
+    def frames(self, video: Video, from_frame_idx: int = -1, reverse: bool = False):
+        """Iterate frames of a video ordered by frame index."""
+        frames = self.find(video)
+        if reverse:
+            frames = [f for f in reversed(frames) if f.frame_idx < from_frame_idx]
+        else:
+            frames = [f for f in frames if f.frame_idx > from_frame_idx]
+        yield from frames
+
+    def get(self, key, *args, **kwargs):
+        try:
+            return self.__getitem__(key, *args, **kwargs)
+        except (KeyError, IndexError):
+            return None
+
+    # ------------------------------------------------------------------ #
+    # Views
+    # ------------------------------------------------------------------ #
+    @property
+    def user_labeled_frames(self) -> List[LabeledFrame]:
+        return [lf for lf in self.labeled_frames if lf.has_user_instances]
+
+    @property
+    def predicted_frames(self) -> List[LabeledFrame]:
+        return [lf for lf in self.labeled_frames if lf.has_predicted_instances]
+
+    @property
+    def all_instances(self) -> List[Instance]:
+        return [inst for lf in self.labeled_frames for inst in lf.instances]
+
+    @property
+    def user_instances(self) -> List[Instance]:
+        return [inst for lf in self.labeled_frames for inst in lf.user_instances]
+
+    @property
+    def predicted_instances(self) -> List[PredictedInstance]:
+        return [inst for lf in self.labeled_frames for inst in lf.predicted_instances]
+
+    @property
+    def skeleton(self) -> Optional[Skeleton]:
+        return self.skeletons[0] if self.skeletons else None
+
+    @property
+    def video(self) -> Optional[Video]:
+        return self.videos[0] if self.videos else None
+
+    @property
+    def has_missing_videos(self) -> bool:
+        return any(v.is_missing for v in self.videos)
+
+    def instance_count(self, video: Video, frame_idx: int) -> int:
+        lf = self.find_first(video, frame_idx)
+        return len(lf.instances) if lf is not None else 0
+
+    def get_track_occupancy(self, video: Video) -> Dict[Track, List[Tuple[int, int]]]:
+        """Per-track sorted list of (start, end_exclusive) frame ranges."""
+        occupancy: Dict[Track, List[int]] = {}
+        for lf in self.find(video):
+            for inst in lf.instances:
+                if inst.track is not None:
+                    occupancy.setdefault(inst.track, []).append(lf.frame_idx)
+        out = {}
+        for track, idxs in occupancy.items():
+            idxs = sorted(set(idxs))
+            ranges, start, prev = [], idxs[0], idxs[0]
+            for i in idxs[1:]:
+                if i == prev + 1:
+                    prev = i
+                else:
+                    ranges.append((start, prev + 1))
+                    start = prev = i
+            ranges.append((start, prev + 1))
+            out[track] = ranges
+        return out
+
+    # ------------------------------------------------------------------ #
+    # Mutation
+    # ------------------------------------------------------------------ #
+    def add_video(self, video: Video) -> None:
+        if video not in self.videos:
+            self.videos.append(video)
+
+    def remove_video(self, video: Video) -> None:
+        self.labeled_frames = [lf for lf in self.labeled_frames if lf.video is not video]
+        self.suggestions = [s for s in self.suggestions if s.video is not video]
+        if video in self.videos:
+            self.videos.remove(video)
+        self.update_cache()
+
+    def add_track(self, video: Video, track: Track) -> None:
+        if track not in self.tracks:
+            self.tracks.append(track)
+
+    def remove_frame(self, lf: LabeledFrame) -> None:
+        self.labeled_frames.remove(lf)
+        self.update_cache()
+
+    def remove_frames(self, lfs: List[LabeledFrame]) -> None:
+        lf_set = set(id(lf) for lf in lfs)
+        self.labeled_frames = [lf for lf in self.labeled_frames if id(lf) not in lf_set]
+        self.update_cache()
+
+    def remove_empty_frames(self) -> None:
+        self.labeled_frames = [lf for lf in self.labeled_frames if len(lf.instances) > 0]
+        self.update_cache()
+
+    def remove_predictions(self, new_labels: Optional["Labels"] = None) -> None:
+        for lf in self.labeled_frames:
+            for inst in list(lf.predicted_instances):
+                lf.remove_instance(inst)
+        self.remove_empty_frames()
+
+    def remove_untracked_instances(self, remove_empty_frames: bool = True) -> None:
+        for lf in self.labeled_frames:
+            lf.remove_untracked()
+        if remove_empty_frames:
+            self.remove_empty_frames()
+
+    def merge_matching_frames(self) -> None:
+        """Combine identical (video, frame_idx) frames into one."""
+        merged: Dict[Tuple[int, int], LabeledFrame] = {}
+        order = []
+        for lf in self.labeled_frames:
+            key = (id(lf.video), lf.frame_idx)
+            if key in merged:
+                for inst in lf.instances:
+                    merged[key].insert_instance(inst)
+            else:
+                merged[key] = lf
+                order.append(key)
+        self.labeled_frames = [merged[k] for k in order]
+        self.update_cache()
+
+    # ------------------------------------------------------------------ #
+    # Splitting / extraction
+    # ------------------------------------------------------------------ #
+    def extract(self, inds: Iterable[int], copy: bool = False) -> "Labels":
+        """New Labels with the selected frames (shared objects unless copy)."""
+        lfs = [self.labeled_frames[int(i)] for i in inds]
+        if copy:
+            import copy as _copy
+
+            lfs = _copy.deepcopy(lfs)
+        return Labels(
+            labeled_frames=lfs,
+            provenance=dict(self.provenance),
+        )
+
+    def split(
+        self, n: Union[int, float], copy: bool = True, seed: Optional[int] = None
+    ) -> Tuple["Labels", "Labels"]:
+        """Random split into two Labels (reference dataset.py:820)."""
+        n_total = len(self)
+        if isinstance(n, float):
+            n1 = max(int(round(n_total * n)), 1)
+        else:
+            n1 = n
+        n1 = min(n1, n_total - 1) if n_total > 1 else 1
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(n_total)
+        if n_total == 1:
+            return self.extract([0], copy=copy), self.extract([0], copy=copy)
+        return (
+            self.extract(sorted(idx[:n1]), copy=copy),
+            self.extract(sorted(idx[n1:]), copy=copy),
+        )
+
+    def with_user_labels_only(
+        self,
+        user_instances_only: bool = True,
+        with_track_only: bool = False,
+        copy: bool = True,
+    ) -> "Labels":
+        inds = [i for i, lf in enumerate(self.labeled_frames) if lf.has_user_instances]
+        new = self.extract(inds, copy=copy)
+        for lf in new.labeled_frames:
+            if user_instances_only:
+                lf.instances = lf.user_instances
+            if with_track_only:
+                lf.instances = lf.tracked_instances
+        new.update_cache()
+        return new
+
+    # ------------------------------------------------------------------ #
+    # Numpy export (tracked occupancy matrix)
+    # ------------------------------------------------------------------ #
+    def numpy(
+        self,
+        video: Optional[Video] = None,
+        all_frames: bool = True,
+        untracked: bool = False,
+    ) -> np.ndarray:
+        """(frames, tracks, nodes, 2) array of tracked points.
+
+        Reference analog: dataset.py ``Labels.numpy``.
+        """
+        video = video or self.video
+        lfs = self.find(video)
+        if not lfs:
+            return np.zeros((0, 0, 0, 2))
+        first_idx = 0 if all_frames else min(lf.frame_idx for lf in lfs)
+        last_idx = max(lf.frame_idx for lf in lfs)
+        n_frames = last_idx - first_idx + 1
+        skeleton = self.skeleton
+        n_nodes = skeleton.n_nodes if skeleton else 0
+        if untracked:
+            n_tracks = max((len(lf.instances) for lf in lfs), default=0)
+        else:
+            tracks = [t for t in self.tracks]
+            n_tracks = len(tracks)
+        out = np.full((n_frames, n_tracks, n_nodes, 2), np.nan, dtype="f8")
+        for lf in lfs:
+            fi = lf.frame_idx - first_idx
+            if untracked:
+                for j, inst in enumerate(lf.instances[:n_tracks]):
+                    out[fi, j] = inst.numpy()
+            else:
+                for inst in lf.instances:
+                    if inst.track is not None and inst.track in tracks:
+                        out[fi, tracks.index(inst.track)] = inst.numpy()
+        return out
+
+    # ------------------------------------------------------------------ #
+    # I/O
+    # ------------------------------------------------------------------ #
+    def save(
+        self,
+        filename: str,
+        with_images: bool = False,
+        embed_all_labeled: bool = False,
+        **kwargs,
+    ) -> None:
+        from sleap_tpu.io import slp
+
+        slp.write_labels(
+            filename, self, save_frame_data=with_images,
+            all_labeled=embed_all_labeled, **kwargs
+        )
+
+    save_file = save
+
+    @classmethod
+    def load_file(
+        cls,
+        filename: str,
+        video_search: Optional[Union[Callable, List[str]]] = None,
+        **kwargs,
+    ) -> "Labels":
+        from sleap_tpu.io import slp
+
+        return slp.read_labels(filename, video_search=video_search)
+
+    def __repr__(self) -> str:
+        return (
+            f"Labels(labeled_frames={len(self.labeled_frames)}, "
+            f"videos={len(self.videos)}, skeletons={len(self.skeletons)}, "
+            f"tracks={len(self.tracks)})"
+        )
+
+
+def load_file(filename: str, **kwargs) -> Labels:
+    """Module-level loader mirroring ``sleap.load_file``."""
+    return Labels.load_file(filename, **kwargs)
