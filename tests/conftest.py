@@ -16,7 +16,12 @@ os.environ.setdefault(
 
 from pathlib import Path
 
+import jax
 import pytest
+
+# Single-core environment: persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 REF_DATA = Path("/root/reference/tests/data")
 
