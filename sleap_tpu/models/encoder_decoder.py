@@ -1,0 +1,353 @@
+"""Generic encoder-decoder backbone (flax).
+
+Rebuild of ``/root/reference/sleap/nn/architectures/encoder_decoder.py``
+(``SimpleConvBlock:57``, ``SimpleUpsamplingBlock:186``,
+``EncoderDecoder:403``). Architecture descriptions are *tagged plain tuples*
+(JAX pytree flattening reconstructs tuple subclasses as plain tuples, so the
+tag string — not the Python type — carries the block kind); one
+``EncoderDecoderNet`` module executes any stack of them, collecting
+stride-tagged intermediate features for skip connections and multi-stride
+head attachment, exactly mirroring the reference's wiring:
+
+- encoder: intermediate recorded after every block at each new stride; the
+  deepest one is dropped (it's the encoder output itself).
+- decoder: intermediate recorded *before* every block (so strides run from
+  ``max_stride`` down to ``2 * output_stride``); skip sources are matched by
+  the stride the block upsamples to.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sleap_tpu.models.common import IntermediateFeature
+
+# --------------------------------------------------------------------------- #
+# Block descriptor factories (tagged plain tuples)
+# --------------------------------------------------------------------------- #
+
+
+def SimpleConvBlock(
+    pool: bool = True,
+    pool_before_convs: bool = False,
+    pooling_stride: int = 2,
+    num_convs: int = 2,
+    filters: int = 32,
+    kernel_size: int = 3,
+    use_bias: bool = True,
+    batch_norm: bool = False,
+    activation: str = "relu",
+) -> tuple:
+    """[pool] -> num_convs x (conv -> [BN] -> act) [-> pool]."""
+    return (
+        "simple_conv",
+        pool,
+        pool_before_convs,
+        pooling_stride,
+        num_convs,
+        filters,
+        kernel_size,
+        use_bias,
+        batch_norm,
+        activation,
+    )
+
+
+def PoolingBlock(pool: bool = True, pooling_stride: int = 2) -> tuple:
+    """Standalone max pool (UNet's trailing pool, unet.py:15)."""
+    return ("pooling", pool, pooling_stride)
+
+
+def StemBlock(
+    pool: bool = True,
+    pooling_stride: int = 4,
+    filters: int = 128,
+    output_filters: int = 256,
+) -> tuple:
+    """Hourglass stem (hourglass.py:44)."""
+    return ("hg_stem", pool, pooling_stride, filters, output_filters)
+
+
+def DownsamplingBlock(filters: int = 256) -> tuple:
+    """Hourglass encoder block: pool(s2) -> conv3x3+BN (hourglass.py:100)."""
+    return ("hg_down", True, 2, filters)
+
+
+def SimpleUpsamplingBlock(
+    upsampling_stride: int = 2,
+    transposed_conv: bool = False,
+    transposed_conv_filters: int = 64,
+    transposed_conv_kernel_size: int = 3,
+    transposed_conv_use_bias: bool = True,
+    transposed_conv_batch_norm: bool = True,
+    transposed_conv_activation: str = "relu",
+    interp_method: str = "bilinear",
+    skip_connection: bool = False,
+    skip_add: bool = False,
+    refine_convs: int = 2,
+    refine_convs_first_filters: Optional[int] = None,
+    refine_convs_filters: int = 64,
+    refine_convs_kernel_size: int = 3,
+    refine_convs_use_bias: bool = True,
+    refine_convs_batch_norm: bool = True,
+    refine_convs_activation: str = "relu",
+) -> tuple:
+    """(transposed conv | interp) -> [skip concat/add] -> refine convs."""
+    return (
+        "simple_up",
+        upsampling_stride,
+        transposed_conv,
+        transposed_conv_filters,
+        transposed_conv_kernel_size,
+        transposed_conv_use_bias,
+        transposed_conv_batch_norm,
+        transposed_conv_activation,
+        interp_method,
+        skip_connection,
+        skip_add,
+        refine_convs,
+        refine_convs_first_filters,
+        refine_convs_filters,
+        refine_convs_kernel_size,
+        refine_convs_use_bias,
+        refine_convs_batch_norm,
+        refine_convs_activation,
+    )
+
+
+def HourglassUpsamplingBlock(filters: int = 256, interp_method: str = "nearest") -> tuple:
+    """Hourglass decoder block (hourglass.py:137)."""
+    return ("hg_up", 2, filters, interp_method)
+
+
+def block_pool(blk: tuple) -> bool:
+    """Whether this encoder block downsamples (and by what stride)."""
+    kind = blk[0]
+    if kind in ("simple_conv", "pooling", "hg_stem", "hg_down"):
+        return bool(blk[1])
+    return False
+
+
+def block_pooling_stride(blk: tuple) -> int:
+    if blk[0] == "simple_conv":
+        return int(blk[3])
+    if blk[0] in ("pooling", "hg_stem", "hg_down"):
+        return int(blk[2])
+    return 1
+
+
+def block_upsampling_stride(blk: tuple) -> int:
+    return int(blk[1])
+
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "linear": lambda x: x,
+    "sigmoid": jax.nn.sigmoid,
+    "softmax": lambda x: jax.nn.softmax(x, axis=-1),
+}
+
+
+def apply_activation(x: jnp.ndarray, name: str) -> jnp.ndarray:
+    return _ACTIVATIONS[name](x)
+
+
+def max_pool_same(x: jnp.ndarray, stride: int, pool_size: int = 2) -> jnp.ndarray:
+    """MaxPool2D(pool_size=2, padding='same')."""
+    return nn.max_pool(
+        x, window_shape=(pool_size, pool_size), strides=(stride, stride), padding="SAME"
+    )
+
+
+def upsample(x: jnp.ndarray, stride: int, method: str) -> jnp.ndarray:
+    """UpSampling2D equivalent (half-pixel-center resize, matching TF2)."""
+    n, h, w, c = x.shape
+    if method == "nearest":
+        return jnp.repeat(jnp.repeat(x, stride, axis=1), stride, axis=2)
+    return jax.image.resize(x, (n, h * stride, w * stride, c), method="bilinear")
+
+
+# --------------------------------------------------------------------------- #
+# Executor module
+# --------------------------------------------------------------------------- #
+
+
+class EncoderDecoderNet(nn.Module):
+    """Executes (stem, encoder, decoder) block-descriptor stacks.
+
+    Returns from ``__call__``: ``(outputs, intermediates)`` where outputs is a
+    list of per-stack final tensors and intermediates a list (per stack) of
+    stride-tagged decoder features (reference encoder_decoder.py:403
+    ``make_backbone`` contract).
+    """
+
+    stem_blocks: tuple = ()
+    encoder_blocks: tuple = ()
+    decoder_blocks: tuple = ()
+    stacks: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.compute_dtype)
+        current_stride = 1
+
+        def conv(x, filters, kernel_size, use_bias, name):
+            return nn.Conv(
+                features=int(filters),
+                kernel_size=(kernel_size, kernel_size),
+                padding="SAME",
+                use_bias=use_bias,
+                dtype=self.compute_dtype,
+                name=name,
+            )(x)
+
+        def bn(x, name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.compute_dtype,
+                name=name,
+            )(x)
+
+        def run_encoder_block(x, blk, prefix: str):
+            kind = blk[0]
+            if kind == "simple_conv":
+                (_, pool, pool_before, pstride, num_convs, filters, ksize,
+                 use_bias, batch_norm, activation) = blk
+                if pool and pool_before:
+                    x = max_pool_same(x, pstride)
+                for i in range(num_convs):
+                    x = conv(x, filters, ksize, use_bias, f"{prefix}_conv{i}")
+                    if batch_norm:
+                        x = bn(x, f"{prefix}_bn{i}")
+                    x = apply_activation(x, activation)
+                if pool and not pool_before:
+                    x = max_pool_same(x, pstride)
+                return x
+            if kind == "pooling":
+                _, pool, pstride = blk
+                return max_pool_same(x, pstride) if pool else x
+            if kind == "hg_stem":
+                _, pool, pstride, filters, output_filters = blk
+                s1 = 2 if (pool and pstride == 4) else 1
+                x = nn.Conv(
+                    filters, (7, 7), strides=(s1, s1), padding="SAME",
+                    dtype=self.compute_dtype, name=f"{prefix}_conv7x7",
+                )(x)
+                x = apply_activation(x, "relu")
+                x = bn(x, f"{prefix}_conv7x7_bn")
+                x = conv(x, 2 * filters, 3, True, f"{prefix}_conv3x3")
+                x = apply_activation(x, "relu")
+                x = bn(x, f"{prefix}_conv3x3_bn")
+                x = max_pool_same(x, 2 if (pool and pstride > 1) else 1)
+                x = conv(x, output_filters, 3, True, f"{prefix}_conv3x3_out")
+                x = apply_activation(x, "relu")
+                x = bn(x, f"{prefix}_conv3x3_out_bn")
+                return x
+            if kind == "hg_down":
+                _, _, _, filters = blk
+                x = max_pool_same(x, 2)
+                x = conv(x, filters, 3, True, f"{prefix}_conv")
+                x = apply_activation(x, "relu")
+                x = bn(x, f"{prefix}_bn")
+                return x
+            raise TypeError(f"Unknown encoder block kind {kind!r}")
+
+        def run_decoder_block(x, blk, skip, prefix: str):
+            kind = blk[0]
+            if kind == "simple_up":
+                (_, up_stride, t_conv, t_filters, t_ksize, t_bias, t_bn, t_act,
+                 interp, skip_conn, skip_add, n_refine, r_first, r_filters,
+                 r_ksize, r_bias, r_bn, r_act) = blk
+                if t_conv:
+                    x = nn.ConvTranspose(
+                        features=int(t_filters),
+                        kernel_size=(t_ksize, t_ksize),
+                        strides=(up_stride, up_stride),
+                        padding="SAME",
+                        use_bias=t_bias,
+                        dtype=self.compute_dtype,
+                        name=f"{prefix}_trans_conv",
+                    )(x)
+                    if t_bn:
+                        x = bn(x, f"{prefix}_trans_conv_bn")
+                    x = apply_activation(x, t_act)
+                else:
+                    x = upsample(x, up_stride, interp)
+                if skip_conn and skip is not None:
+                    if skip_add:
+                        src = skip
+                        if src.shape[-1] != x.shape[-1]:
+                            src = conv(src, x.shape[-1], 1, True, f"{prefix}_skip_conv1x1")
+                        x = src + x
+                    else:
+                        x = jnp.concatenate([skip, x], axis=-1)
+                for i in range(n_refine):
+                    filters = r_filters
+                    if i == 0 and r_first is not None:
+                        filters = r_first
+                    x = conv(x, filters, r_ksize, r_bias, f"{prefix}_refine_conv{i}")
+                    if r_bn:
+                        x = bn(x, f"{prefix}_refine_conv{i}_bn")
+                    x = apply_activation(x, r_act)
+                return x
+            if kind == "hg_up":
+                _, up_stride, filters, interp = blk
+                xm = conv(x, filters, 3, True, f"{prefix}_conv")
+                xm = apply_activation(xm, "relu")
+                xm = bn(xm, f"{prefix}_conv_bn")
+                xm = upsample(xm, up_stride, interp)
+                xs = conv(skip, filters, 3, True, f"{prefix}_skip")
+                xs = apply_activation(xs, "relu")
+                xs = bn(xs, f"{prefix}_skip_bn")
+                return xm + xs
+            raise TypeError(f"Unknown decoder block kind {kind!r}")
+
+        # ---- Stem ----
+        stem_features: List[IntermediateFeature] = []
+        for i, blk in enumerate(self.stem_blocks):
+            x = run_encoder_block(x, blk, f"stem{i}")
+            if block_pool(blk):
+                current_stride *= block_pooling_stride(blk)
+        if self.stem_blocks:
+            stem_features = [IntermediateFeature(x, current_stride)]
+
+        outputs = []
+        intermediates = []
+        for s in range(self.stacks):
+            # ---- Encoder ----
+            enc_features: List[IntermediateFeature] = []
+            enc_stride = current_stride
+            for i, blk in enumerate(self.encoder_blocks):
+                x = run_encoder_block(x, blk, f"stack{s}_enc{i}")
+                if block_pool(blk):
+                    enc_stride *= block_pooling_stride(blk)
+                if enc_stride not in [f.stride for f in enc_features]:
+                    enc_features.append(IntermediateFeature(x, enc_stride))
+            enc_features = enc_features[:-1]
+
+            # ---- Decoder ----
+            skip_sources = stem_features + enc_features
+            dec_features: List[IntermediateFeature] = []
+            dec_stride = enc_stride
+            for i, blk in enumerate(self.decoder_blocks):
+                dec_features.append(IntermediateFeature(x, dec_stride))
+                next_stride = dec_stride // block_upsampling_stride(blk)
+                skip = None
+                for f in skip_sources:
+                    if f.stride == next_stride:
+                        skip = f.tensor
+                        break
+                x = run_decoder_block(x, blk, skip, f"stack{s}_dec{i}")
+                dec_stride = next_stride
+
+            outputs.append(x)
+            intermediates.append(dec_features)
+
+        return outputs, intermediates

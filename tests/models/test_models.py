@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleap_tpu import config as cfg
+from sleap_tpu.models.heads import (
+    CentroidConfmapsHead,
+    MultiInstanceConfmapsHead,
+    PartAffinityFieldsHead,
+    SingleInstanceConfmapsHead,
+)
+from sleap_tpu.models.hourglass import Hourglass
+from sleap_tpu.models.leap import LeapCNN
+from sleap_tpu.models.model import Model, find_head
+from sleap_tpu.models.unet import UNet
+
+
+def count_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+
+
+def test_unet_default_param_count():
+    """Reference claims ~34.5M params for the default UNet (unet.py:46)."""
+    model = Model(
+        backbone=UNet(),
+        heads=[SingleInstanceConfmapsHead(part_names=["a"], output_stride=1)],
+    )
+    _, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    n = count_params(variables)
+    assert 34.4e6 < n < 34.6e6
+
+
+def test_unet_from_reference_config_exact_params():
+    """Param count must match the reference checkpoint exactly (127,235)."""
+    import os
+
+    d = "/root/reference/tests/data/models/minimal_instance.UNet.centroid"
+    if not os.path.exists(d):
+        pytest.skip("reference fixture unavailable")
+    c = cfg.load_config(d)
+    model = Model.from_config(c.model, skeleton=c.data.labels.skeletons[0])
+    _, variables = model.init(jax.random.PRNGKey(0), (192, 192, 1))
+    assert count_params(variables) == 127235
+
+
+def test_unet_output_strides():
+    model = Model(
+        backbone=UNet(filters=8, down_blocks=3, up_blocks=2),
+        heads=[
+            MultiInstanceConfmapsHead(part_names=["a", "b"], output_stride=2),
+            PartAffinityFieldsHead(edges=[("a", "b")], output_stride=4),
+        ],
+    )
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert out["MultiInstanceConfmapsHead"].shape == (1, 32, 32, 2)
+    assert out["PartAffinityFieldsHead"].shape == (1, 16, 16, 2)
+
+
+def test_leap_default_param_count():
+    """Reference claims ~10.8M params for the default LEAP CNN (leap.py:15)."""
+    model = Model(
+        backbone=LeapCNN(),
+        heads=[SingleInstanceConfmapsHead(part_names=["a"], output_stride=1)],
+    )
+    _, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    n = count_params(variables)
+    assert 10.5e6 < n < 11.1e6
+
+
+def test_hourglass_stacked_outputs():
+    model = Model(
+        backbone=Hourglass(
+            down_blocks=2,
+            up_blocks=2,
+            stem_filters=8,
+            stem_stride=4,
+            filters=16,
+            filter_increase=8,
+            stacks=2,
+        ),
+        heads=[MultiInstanceConfmapsHead(part_names=["a", "b"], output_stride=4)],
+    )
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    # Intermediate supervision: one output per stack.
+    assert out["MultiInstanceConfmapsHead_stack0"].shape == (1, 16, 16, 2)
+    assert out["MultiInstanceConfmapsHead"].shape == (1, 16, 16, 2)
+    assert "batch_stats" in variables
+
+
+def test_model_from_config_multiclass():
+    c = cfg.ModelConfig(
+        backbone=cfg.BackboneConfig(unet=cfg.UNetConfig(max_stride=8, output_stride=2, filters=8)),
+        heads=cfg.HeadsConfig(
+            multi_class_topdown=cfg.MultiClassTopDownConfig(
+                confmaps=cfg.CenteredInstanceConfmapsHeadConfig(
+                    part_names=["a", "b"], output_stride=2
+                ),
+                class_vectors=cfg.ClassVectorsHeadConfig(
+                    classes=["m", "f"], num_fc_layers=2, output_stride=8
+                ),
+            )
+        ),
+    )
+    model = Model.from_config(c)
+    module, variables = model.init(jax.random.PRNGKey(0), (32, 32, 1))
+    out = module.apply(variables, jnp.zeros((3, 32, 32, 1)), train=False)
+    assert out["CenteredInstanceConfmapsHead"].shape == (3, 16, 16, 2)
+    assert out["ClassVectorsHead"].shape == (3, 2)
+    np.testing.assert_allclose(out["ClassVectorsHead"].sum(axis=-1), 1.0, rtol=1e-5)
+
+
+def test_find_head():
+    outs = {"MultiInstanceConfmapsHead": 1, "PartAffinityFieldsHead": 2,
+            "MultiInstanceConfmapsHead_stack0": 3}
+    assert find_head(outs, "MultiInstanceConfmapsHead") == "MultiInstanceConfmapsHead"
+    assert find_head(outs, "PartAffinityFields") == "PartAffinityFieldsHead"
+    assert find_head(outs, "ClassMaps") is None
+
+
+def test_keras_h5_weight_loading():
+    import os
+
+    d = "/root/reference/tests/data/models/minimal_instance.UNet.centroid"
+    if not os.path.exists(d):
+        pytest.skip("reference fixture unavailable")
+    from sleap_tpu.io.keras_h5 import load_keras_weights_into_variables
+
+    c = cfg.load_config(d)
+    model = Model.from_config(c.model, skeleton=c.data.labels.skeletons[0])
+    module, variables = model.init(jax.random.PRNGKey(0), (192, 192, 1))
+    loaded = load_keras_weights_into_variables(d + "/best_model.h5", variables)
+    # All leaves replaced with matching shapes, outputs finite.
+    out = module.apply(loaded, jnp.zeros((1, 192, 192, 1)), train=False)
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in out.values())
