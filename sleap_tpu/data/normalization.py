@@ -1,0 +1,53 @@
+"""Image normalization ops (JAX, on-chip).
+
+Rebuild of ``/root/reference/sleap/nn/data/normalization.py`` free functions.
+These run inside jitted inference/training steps so raw uint8 frames can be
+transferred to the device and normalized there (saving 4x host->HBM
+bandwidth vs transferring float32).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ITU-R 601 luma coefficients (same as tf.image.rgb_to_grayscale).
+_RGB_WEIGHTS = jnp.array([0.2989, 0.5870, 0.1140], dtype=jnp.float32)
+
+
+def ensure_grayscale(image: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3|1) -> (..., H, W, 1); RGB converted by ITU-R 601 luma."""
+    if image.shape[-1] == 3:
+        f = image.astype(jnp.float32)
+        gray = jnp.tensordot(f, _RGB_WEIGHTS, axes=[[-1], [0]])[..., None]
+        if jnp.issubdtype(image.dtype, jnp.integer):
+            gray = jnp.round(gray).astype(image.dtype)
+        else:
+            gray = gray.astype(image.dtype)
+        return gray
+    return image
+
+
+def ensure_rgb(image: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 1|3) -> (..., H, W, 3) by channel replication."""
+    if image.shape[-1] == 1:
+        return jnp.tile(image, (1,) * (image.ndim - 1) + (3,))
+    return image
+
+
+def ensure_float(image: jnp.ndarray) -> jnp.ndarray:
+    """Integer images -> float32 in [0, 1]; float images passed through."""
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        return image.astype(jnp.float32) / 255.0
+    return image.astype(jnp.float32)
+
+
+def ensure_min_image_rank(image: jnp.ndarray) -> jnp.ndarray:
+    """Append a channel axis if missing."""
+    if image.ndim == 3:
+        return image[..., None]
+    return image
+
+
+def scale_image_range(image: jnp.ndarray, min_val: float, max_val: float) -> jnp.ndarray:
+    """Rescale a [0, 1] image to [min_val, max_val] (imagenet-style modes)."""
+    return image * (max_val - min_val) + min_val

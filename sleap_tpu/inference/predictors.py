@@ -1,0 +1,803 @@
+"""Predictors: trained model dirs -> jitted TPU inference -> Labels.
+
+Rebuild of ``/root/reference/sleap/nn/inference.py`` predictor classes
+(``Predictor:159``, ``SingleInstancePredictor:1419``, ``TopDownPredictor:2315``,
+``BottomUpPredictor:3056``). TPU-native design:
+
+- The entire per-batch path (uint8 decode -> normalize -> resize -> conv
+  forward -> peak finding -> coordinate adjustment [-> PAF grouping]) is ONE
+  jitted function with static shapes; confidence maps never leave the chip.
+- Variable-count outputs (instances, peaks) use fixed bounds with NaN padding
+  and validity masks; the host builder strips padding (the reference NaN-pads
+  at the same boundary, inference.py:1039-1045).
+- Coordinate conventions replicate the reference bit-for-bit:
+  ``peaks * output_stride``, then ``/ input_scale + 0.5`` when scaled
+  (inference.py:1829-1833), crop offsets divided by the instance model's
+  input scale (inference.py:2163-2177).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+import zipfile
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Text, Tuple, Union
+
+import attr
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sleap_tpu.config as cfg_mod
+from sleap_tpu.config import TrainingJobConfig
+from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
+from sleap_tpu.core.labels import Labels
+from sleap_tpu.core.skeleton import Skeleton
+from sleap_tpu.data.normalization import ensure_float, ensure_grayscale, ensure_rgb
+from sleap_tpu.data.providers import LabelsReader, VideoReader, batch_examples
+from sleap_tpu.data.resizing import pad_to_stride, resize_image
+from sleap_tpu.io.video import Video
+from sleap_tpu.models.model import Model, find_head
+from sleap_tpu.ops.peak_finding import (
+    crop_and_resize,
+    find_global_peaks,
+    find_global_peaks_with_offsets,
+    find_local_peaks,
+    find_local_peaks_with_offsets,
+    make_centered_bboxes,
+)
+
+
+# --------------------------------------------------------------------------- #
+# Trained model loading
+# --------------------------------------------------------------------------- #
+
+
+@attr.s(auto_attribs=True)
+class TrainedModel:
+    """A model dir loaded into (config, flax module, variables)."""
+
+    config: TrainingJobConfig
+    model: Model
+    module: Any
+    variables: Any
+    input_channels: int
+
+    @property
+    def input_scale(self) -> float:
+        return self.config.data.preprocessing.input_scaling
+
+    @property
+    def grayscale(self) -> bool:
+        return self.input_channels == 1
+
+
+def _unpack_zip(path: str) -> str:
+    """Unzip exported model bundles to a sibling directory."""
+    out_dir = path[: -len(".zip")] + "_unzipped"
+    if not os.path.isdir(out_dir):
+        with zipfile.ZipFile(path) as zf:
+            zf.extractall(out_dir)
+    return out_dir
+
+
+def load_trained_model(model_path: str) -> TrainedModel:
+    """Load a run folder (training_config.json + weights) into flax.
+
+    Supports the reference's Keras ``best_model.h5`` checkpoints and this
+    framework's orbax checkpoints (``best_model.ckpt`` directory).
+    """
+    if model_path.endswith(".zip"):
+        model_path = _unpack_zip(model_path)
+    if model_path.endswith(".json"):
+        model_dir = os.path.dirname(model_path)
+    else:
+        model_dir = model_path
+    config = TrainingJobConfig.load_json(model_dir)
+    skeleton = config.data.labels.skeletons[0] if config.data.labels.skeletons else None
+    model = Model.from_config(config.model, skeleton=skeleton, update_config=True)
+
+    h5_path = os.path.join(model_dir, "best_model.h5")
+    ckpt_path = os.path.join(model_dir, "best_model.ckpt")
+    in_channels = None
+    if os.path.exists(h5_path):
+        from sleap_tpu.io.keras_h5 import read_keras_weights
+
+        weights = read_keras_weights(h5_path)
+        for first_layer in ("stack0_enc0_conv0", "stem0_conv7x7"):
+            if first_layer in weights:
+                in_channels = int(weights[first_layer]["kernel"].shape[2])
+                break
+    if in_channels is None:
+        pp = config.data.preprocessing
+        in_channels = 1 if pp.ensure_grayscale else (3 if pp.ensure_rgb else 1)
+
+    max_stride = model.maximum_stride
+    init_hw = max(4 * max_stride, 32)
+    module, variables = model.init(
+        jax.random.PRNGKey(0), (init_hw, init_hw, in_channels)
+    )
+    if os.path.exists(h5_path):
+        from sleap_tpu.io.keras_h5 import load_keras_weights_into_variables
+
+        variables = load_keras_weights_into_variables(h5_path, variables)
+    elif os.path.isdir(ckpt_path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        variables = ckptr.restore(os.path.abspath(ckpt_path), variables)
+    else:
+        raise FileNotFoundError(f"No weights (best_model.h5 / best_model.ckpt) in {model_dir}.")
+
+    return TrainedModel(
+        config=config,
+        model=model,
+        module=module,
+        variables=variables,
+        input_channels=in_channels,
+    )
+
+
+def _preprocess(
+    imgs: jnp.ndarray,
+    grayscale: bool,
+    input_scale: float,
+    pad_stride: int,
+    resize_img: bool = True,
+) -> jnp.ndarray:
+    """On-chip preprocessing (reference InferenceLayer.preprocess, :940-967)."""
+    imgs = ensure_grayscale(imgs) if grayscale else ensure_rgb(imgs)
+    imgs = ensure_float(imgs)
+    if resize_img and input_scale != 1.0:
+        imgs = resize_image(imgs, input_scale)
+    if pad_stride and pad_stride > 1:
+        imgs = pad_to_stride(imgs, pad_stride)
+    return imgs
+
+
+def _cast_like(crops: jnp.ndarray, ref_dtype) -> jnp.ndarray:
+    """Cast bilinear crops back to the source image dtype (reference
+    peak_finding.py:190 ``crops = tf.cast(crops, images.dtype)``; TF cast
+    truncates float->int)."""
+    if jnp.issubdtype(ref_dtype, jnp.integer):
+        return jnp.trunc(crops).astype(ref_dtype)
+    return crops.astype(ref_dtype)
+
+
+def _adjust_peaks(peaks: jnp.ndarray, output_stride: int, input_scale: float) -> jnp.ndarray:
+    """peaks*stride, then /scale + 0.5 when scaled (inference.py:1829-1833)."""
+    peaks = peaks * float(output_stride)
+    if input_scale != 1.0:
+        peaks = peaks / input_scale + 0.5
+    return peaks
+
+
+# --------------------------------------------------------------------------- #
+# Predictor base
+# --------------------------------------------------------------------------- #
+
+
+@attr.s(auto_attribs=True)
+class Predictor:
+    """Abstract predictor (reference inference.py:159)."""
+
+    verbosity: str = "none"
+    report_rate: float = 2.0
+
+    @classmethod
+    def from_model_paths(
+        cls,
+        model_paths: Union[str, Sequence[str]],
+        peak_threshold: float = 0.2,
+        integral_refinement: bool = True,
+        integral_patch_size: int = 5,
+        batch_size: int = 4,
+        max_instances: Optional[int] = None,
+        **kwargs,
+    ) -> "Predictor":
+        """Dispatch to a concrete predictor by the head type(s) of the model
+        dir(s) (reference inference.py:176-311)."""
+        if isinstance(model_paths, str):
+            model_paths = [model_paths]
+        configs = {}
+        for path in model_paths:
+            p = _unpack_zip(path) if path.endswith(".zip") else path
+            config = TrainingJobConfig.load_json(
+                os.path.dirname(p) if p.endswith(".json") else p
+            )
+            head_name = config.model.heads.which_oneof_attrib_name
+            configs[head_name] = p
+
+        head_set = set(configs.keys())
+        common = dict(
+            peak_threshold=peak_threshold,
+            integral_refinement=integral_refinement,
+            integral_patch_size=integral_patch_size,
+            batch_size=batch_size,
+        )
+        if head_set == {"single_instance"}:
+            return SingleInstancePredictor.from_trained_models(
+                configs["single_instance"], **common, **kwargs
+            )
+        if head_set <= {"centroid", "centered_instance"} and head_set:
+            return TopDownPredictor.from_trained_models(
+                centroid_model_path=configs.get("centroid"),
+                confmap_model_path=configs.get("centered_instance"),
+                max_instances=max_instances,
+                **common,
+                **kwargs,
+            )
+        if head_set == {"multi_instance"}:
+            from sleap_tpu.inference.bottomup import BottomUpPredictor
+
+            return BottomUpPredictor.from_trained_models(
+                configs["multi_instance"], max_instances=max_instances, **common, **kwargs
+            )
+        if head_set == {"multi_class_bottomup"}:
+            from sleap_tpu.inference.multiclass import BottomUpMultiClassPredictor
+
+            return BottomUpMultiClassPredictor.from_trained_models(
+                configs["multi_class_bottomup"], **common, **kwargs
+            )
+        if head_set == {"multi_class_topdown"} or head_set == {
+            "centroid",
+            "multi_class_topdown",
+        }:
+            from sleap_tpu.inference.multiclass import TopDownMultiClassPredictor
+
+            return TopDownMultiClassPredictor.from_trained_models(
+                centroid_model_path=configs.get("centroid"),
+                confmap_model_path=configs.get("multi_class_topdown"),
+                max_instances=max_instances,
+                **common,
+                **kwargs,
+            )
+        raise ValueError(f"Unsupported head combination: {sorted(head_set)}.")
+
+    # -- provider construction ------------------------------------------- #
+    def _make_provider(self, data) -> Union[LabelsReader, VideoReader]:
+        if isinstance(data, (LabelsReader, VideoReader)):
+            return data
+        if isinstance(data, Labels):
+            return LabelsReader(labels=data)
+        if isinstance(data, Video):
+            return VideoReader(video=data)
+        if isinstance(data, np.ndarray):
+            return VideoReader(video=Video.from_numpy(data))
+        if isinstance(data, str):
+            if data.endswith(".slp"):
+                return LabelsReader(labels=Labels.load_file(data))
+            return VideoReader.from_filepath(data)
+        raise TypeError(f"Cannot make a data provider from {type(data)}.")
+
+    # -- main entry -------------------------------------------------------- #
+    def predict(self, data, make_labels: bool = True):
+        """Run inference; return ``Labels`` (or raw example dicts)."""
+        provider = self._make_provider(data)
+        t0 = time.time()
+        generator = self._predict_generator(provider)
+        if make_labels:
+            frames = self._make_labeled_frames_from_generator(generator, provider)
+            elapsed = time.time() - t0
+            labels = Labels(labeled_frames=frames)
+            labels.provenance.update(
+                {
+                    "predictor": type(self).__name__,
+                    "sleap_tpu_version": __import__("sleap_tpu").__version__,
+                    "total_elapsed": elapsed,
+                }
+            )
+            return labels
+        return list(generator)
+
+    def _report_progress(self, done: int, total: int, t0: float) -> None:
+        if self.verbosity == "json":
+            print(
+                json.dumps(
+                    {
+                        "n_processed": done,
+                        "n_total": total,
+                        "elapsed": time.time() - t0,
+                        "rate": done / max(time.time() - t0, 1e-6),
+                    }
+                ),
+                flush=True,
+            )
+        elif self.verbosity == "rich":
+            rate = done / max(time.time() - t0, 1e-6)
+            print(f"\rPredicting... {done}/{total} ({rate:.1f} FPS)", end="", flush=True)
+
+    # Subclasses implement:
+    def _predict_generator(self, provider) -> Iterator[Dict[str, np.ndarray]]:
+        raise NotImplementedError
+
+    def _make_labeled_frames_from_generator(self, generator, provider) -> List[LabeledFrame]:
+        raise NotImplementedError
+
+
+def _attach_tracker(predictor, frames, provider):
+    """Run the predictor's tracker over built frames if present."""
+    tracker = getattr(predictor, "tracker", None)
+    if tracker is None:
+        return frames
+    for lf in frames:
+        lf.instances = tracker.track(
+            untracked_instances=list(lf.instances),
+            img=lf.image if tracker.uses_image else None,
+            t=lf.frame_idx,
+        )
+    if hasattr(tracker, "final_pass"):
+        tracker.final_pass(frames)
+    return frames
+
+
+# --------------------------------------------------------------------------- #
+# Single instance
+# --------------------------------------------------------------------------- #
+
+
+@attr.s(auto_attribs=True)
+class SingleInstancePredictor(Predictor):
+    """One animal per frame: confmaps -> global peaks (inference.py:1419)."""
+
+    confmap_model: Optional[TrainedModel] = None
+    peak_threshold: float = 0.2
+    integral_refinement: bool = True
+    integral_patch_size: int = 5
+    batch_size: int = 4
+    tracker: Any = None
+
+    _infer_fn: Any = attr.ib(default=None, init=False, repr=False)
+
+    @classmethod
+    def from_trained_models(cls, model_path: str, **kwargs) -> "SingleInstancePredictor":
+        kwargs.pop("max_instances", None)
+        return cls(confmap_model=load_trained_model(model_path), **kwargs)
+
+    @property
+    def confmap_config(self) -> TrainingJobConfig:
+        return self.confmap_model.config
+
+    def _build_infer_fn(self):
+        tm = self.confmap_model
+        head_cfg = tm.config.model.heads.single_instance
+        output_stride = head_cfg.output_stride
+        input_scale = tm.input_scale
+        pad = tm.config.data.preprocessing.pad_to_stride or tm.model.maximum_stride
+        refinement = "integral" if self.integral_refinement else "local"
+        threshold = self.peak_threshold
+        grayscale = tm.grayscale
+        module, variables = tm.module, tm.variables
+
+        @jax.jit
+        def infer(images):
+            imgs = _preprocess(images, grayscale, input_scale, pad)
+            out = module.apply(variables, imgs, train=False)
+            cm_key = find_head(out, "SingleInstanceConfmapsHead")
+            off_key = find_head(out, "OffsetRefinementHead")
+            cms = out[cm_key]
+            if off_key is not None:
+                peaks, vals = find_global_peaks_with_offsets(
+                    cms, out[off_key], threshold=threshold
+                )
+            else:
+                peaks, vals = find_global_peaks(
+                    cms,
+                    threshold=threshold,
+                    refinement=refinement,
+                    integral_patch_size=self.integral_patch_size,
+                )
+            peaks = _adjust_peaks(peaks, output_stride, input_scale)
+            return {"instance_peaks": peaks, "instance_peak_vals": vals}
+
+        return infer
+
+    def _predict_generator(self, provider):
+        if self._infer_fn is None:
+            self._infer_fn = self._build_infer_fn()
+        total = len(provider)
+        done = 0
+        t0 = time.time()
+        for batch, n_valid in batch_examples(provider, self.batch_size):
+            out = self._infer_fn(jnp.asarray(batch["image"]))
+            ex = {k: np.asarray(v) for k, v in out.items()}
+            ex.update(
+                image=batch["image"],
+                video_ind=batch["video_ind"],
+                frame_ind=batch["frame_ind"],
+                n_valid=n_valid,
+            )
+            done += n_valid
+            if self.verbosity != "none":
+                self._report_progress(done, total, t0)
+            yield ex
+
+    def _make_labeled_frames_from_generator(self, generator, provider):
+        skeleton = self.confmap_config.data.labels.skeletons[0]
+        frames = []
+        for ex in generator:
+            n = ex["n_valid"]
+            for i in range(n):
+                pts = ex["instance_peaks"][i]
+                confs = ex["instance_peak_vals"][i]
+                instances = []
+                if not np.all(np.isnan(pts)):
+                    instances.append(
+                        PredictedInstance.from_arrays(
+                            points=pts,
+                            point_confidences=confs,
+                            instance_score=float(np.nansum(confs)),
+                            skeleton=skeleton,
+                        )
+                    )
+                frames.append(
+                    LabeledFrame(
+                        video=provider.videos[int(ex["video_ind"][i])],
+                        frame_idx=int(ex["frame_ind"][i]),
+                        instances=instances,
+                    )
+                )
+        return _attach_tracker(self, frames, provider)
+
+
+# --------------------------------------------------------------------------- #
+# Top-down
+# --------------------------------------------------------------------------- #
+
+
+@attr.s(auto_attribs=True)
+class TopDownPredictor(Predictor):
+    """Two-stage: centroid detection + crops -> centered-instance confmaps.
+
+    Reference: inference.py:2315 (``CentroidCrop:1638`` +
+    ``FindInstancePeaks:1969`` fused into one jitted step). ``max_instances``
+    doubles as the static crop-count bound K (default 8).
+    """
+
+    centroid_model: Optional[TrainedModel] = None
+    confmap_model: Optional[TrainedModel] = None
+    peak_threshold: float = 0.2
+    integral_refinement: bool = True
+    integral_patch_size: int = 5
+    batch_size: int = 4
+    max_instances: Optional[int] = None
+    tracker: Any = None
+
+    _infer_fn: Any = attr.ib(default=None, init=False, repr=False)
+
+    @classmethod
+    def from_trained_models(
+        cls,
+        centroid_model_path: Optional[str] = None,
+        confmap_model_path: Optional[str] = None,
+        **kwargs,
+    ) -> "TopDownPredictor":
+        return cls(
+            centroid_model=load_trained_model(centroid_model_path)
+            if centroid_model_path
+            else None,
+            confmap_model=load_trained_model(confmap_model_path)
+            if confmap_model_path
+            else None,
+            **kwargs,
+        )
+
+    @property
+    def centroid_config(self):
+        return self.centroid_model.config if self.centroid_model else None
+
+    @property
+    def confmap_config(self):
+        return self.confmap_model.config if self.confmap_model else None
+
+    @property
+    def _max_peaks(self) -> int:
+        return self.max_instances or 8
+
+    def _crop_size(self) -> int:
+        if self.confmap_model is not None:
+            size = self.confmap_config.data.instance_cropping.crop_size
+            if size:
+                return int(size)
+        return 128
+
+    def _build_infer_fn(self):
+        if self.centroid_model is None:
+            return self._build_infer_fn_gt_centroid()
+        K = self._max_peaks
+        crop_size = self._crop_size()
+        threshold = self.peak_threshold
+        refinement = "integral" if self.integral_refinement else "local"
+        patch = self.integral_patch_size
+
+        ctm = self.centroid_model
+        itm = self.confmap_model
+        c_stride = self.centroid_config.model.heads.centroid.output_stride
+        c_scale = ctm.input_scale
+        c_pad = self.centroid_config.data.preprocessing.pad_to_stride or ctm.model.maximum_stride
+        i_stride = self.confmap_config.model.heads.centered_instance.output_stride
+        i_scale = itm.input_scale
+        precrop_resize = i_scale  # inference.py:2418-2421
+
+        @jax.jit
+        def infer(images):
+            # ---- Stage 1: centroids ----
+            imgs = _preprocess(images, ctm.grayscale, c_scale, c_pad)
+            out = ctm.module.apply(ctm.variables, imgs, train=False)
+            cms = out[find_head(out, "CentroidConfmapsHead")]
+            off_key = find_head(out, "OffsetRefinementHead")
+            if off_key is not None:
+                peaks, vals, mask = find_local_peaks_with_offsets(
+                    cms, out[off_key], max_peaks=K, threshold=threshold
+                )
+            else:
+                peaks, vals, mask = find_local_peaks(
+                    cms, max_peaks=K, threshold=threshold,
+                    refinement=refinement, integral_patch_size=patch,
+                )
+            # (S, 1, K, ...) -> (S, K, ...): centroid model has one channel.
+            centroids = _adjust_peaks(peaks[:, 0], c_stride, c_scale)  # (S, K, 2)
+            centroid_vals = vals[:, 0]
+            centroid_mask = mask[:, 0]
+
+            # ---- Stage 2: crops on (precrop-resized) full images ----
+            full = images
+            if precrop_resize != 1.0:
+                full = resize_image(ensure_float(full), precrop_resize)
+                centroids_c = centroids * precrop_resize
+            else:
+                centroids_c = centroids
+            crop_offsets = centroids_c - (crop_size / 2.0)  # (S, K, 2)
+
+            S = images.shape[0]
+            flat_centroids = centroids_c.reshape(S * K, 2)
+            flat_centroids = jnp.nan_to_num(flat_centroids)
+            bboxes = make_centered_bboxes(flat_centroids, crop_size, crop_size)
+            sample_inds = jnp.repeat(jnp.arange(S), K)
+            crops = crop_and_resize(full, bboxes, sample_inds, (crop_size, crop_size))
+            crops = _cast_like(crops, full.dtype)
+
+            # ---- Stage 3: instance peaks on crops ----
+            crops_p = _preprocess(
+                crops, itm.grayscale, i_scale, 1, resize_img=False
+            )
+            out2 = itm.module.apply(itm.variables, crops_p, train=False)
+            cm_key = find_head(out2, "CenteredInstanceConfmapsHead")
+            cms2 = out2[cm_key]
+            off2 = find_head(out2, "OffsetRefinementHead")
+            if off2 is not None:
+                pk, pv = find_global_peaks_with_offsets(
+                    cms2, out2[off2], threshold=threshold
+                )
+            else:
+                pk, pv = find_global_peaks(
+                    cms2, threshold=threshold, refinement=refinement,
+                    integral_patch_size=patch,
+                )
+            pk = _adjust_peaks(pk, i_stride, i_scale)  # (S*K, n_nodes, 2)
+            pk = pk + (crop_offsets.reshape(S * K, 2) / i_scale)[:, None, :]
+
+            n_nodes = pk.shape[1]
+            pk = pk.reshape(S, K, n_nodes, 2)
+            pv = pv.reshape(S, K, n_nodes)
+            pk = jnp.where(centroid_mask[:, :, None, None], pk, jnp.nan)
+            pv = jnp.where(centroid_mask[:, :, None], pv, 0.0)
+            return {
+                "instance_peaks": pk,
+                "instance_peak_vals": pv,
+                "centroids": centroids,
+                "centroid_vals": jnp.where(centroid_mask, centroid_vals, 0.0),
+                "centroid_mask": centroid_mask,
+            }
+
+        return infer
+
+    def _build_infer_fn_gt_centroid(self):
+        """Stages 2-3 only, with ground-truth centroids supplied by the host
+        (reference ``CentroidCropGroundTruth``, inference.py:723)."""
+        K = self._max_peaks
+        crop_size = self._crop_size()
+        threshold = self.peak_threshold
+        refinement = "integral" if self.integral_refinement else "local"
+        patch = self.integral_patch_size
+        itm = self.confmap_model
+        i_stride = self.confmap_config.model.heads.centered_instance.output_stride
+        i_scale = itm.input_scale
+        precrop_resize = i_scale
+
+        @jax.jit
+        def infer(images, centroids, centroid_mask):
+            full = images
+            if precrop_resize != 1.0:
+                full = resize_image(ensure_float(full), precrop_resize)
+                centroids_c = centroids * precrop_resize
+            else:
+                centroids_c = centroids
+            crop_offsets = centroids_c - (crop_size / 2.0)
+            S = images.shape[0]
+            flat_centroids = jnp.nan_to_num(centroids_c.reshape(S * K, 2))
+            bboxes = make_centered_bboxes(flat_centroids, crop_size, crop_size)
+            sample_inds = jnp.repeat(jnp.arange(S), K)
+            crops = crop_and_resize(full, bboxes, sample_inds, (crop_size, crop_size))
+            crops = _cast_like(crops, full.dtype)
+            crops_p = _preprocess(crops, itm.grayscale, i_scale, 1, resize_img=False)
+            out2 = itm.module.apply(itm.variables, crops_p, train=False)
+            cms2 = out2[find_head(out2, "CenteredInstanceConfmapsHead")]
+            off2 = find_head(out2, "OffsetRefinementHead")
+            if off2 is not None:
+                pk, pv = find_global_peaks_with_offsets(
+                    cms2, out2[off2], threshold=threshold
+                )
+            else:
+                pk, pv = find_global_peaks(
+                    cms2, threshold=threshold, refinement=refinement,
+                    integral_patch_size=patch,
+                )
+            pk = _adjust_peaks(pk, i_stride, i_scale)
+            pk = pk + (crop_offsets.reshape(S * K, 2) / i_scale)[:, None, :]
+            n_nodes = pk.shape[1]
+            pk = pk.reshape(S, K, n_nodes, 2)
+            pv = pv.reshape(S, K, n_nodes)
+            pk = jnp.where(centroid_mask[:, :, None, None], pk, jnp.nan)
+            pv = jnp.where(centroid_mask[:, :, None], pv, 0.0)
+            return {
+                "instance_peaks": pk,
+                "instance_peak_vals": pv,
+                "centroids": centroids,
+                "centroid_vals": jnp.where(centroid_mask, 1.0, 0.0),
+                "centroid_mask": centroid_mask,
+            }
+
+        return infer
+
+    def _gt_centroid_batches(self, provider):
+        """Batch examples carrying host-computed GT centroids."""
+        from sleap_tpu.data.instance_centroids import get_instance_centroids
+
+        anchor_ind = None
+        anchor = self.confmap_config.data.instance_cropping.center_on_part
+        skeleton = self.confmap_config.data.labels.skeletons[0]
+        if anchor and anchor in skeleton.node_names:
+            anchor_ind = skeleton.node_names.index(anchor)
+        K = self._max_peaks
+
+        def with_centroids(ex):
+            cents = get_instance_centroids(ex.get("instances", np.zeros((0, 0, 2))), anchor_ind)
+            cents = cents[:K]
+            n = len(cents)
+            padded = np.full((K, 2), np.nan)
+            padded[:n] = cents
+            mask = np.zeros(K, bool)
+            mask[:n] = ~np.isnan(cents).any(axis=-1)
+            ex = dict(ex)
+            ex["centroids"] = padded
+            ex["centroid_mask"] = mask
+            return ex
+
+        buf = []
+        for ex in provider:
+            buf.append(with_centroids(ex))
+            if len(buf) == self.batch_size:
+                yield self._emit_centroid_batch(buf)
+                buf = []
+        if buf:
+            yield self._emit_centroid_batch(buf)
+
+    def _emit_centroid_batch(self, buf):
+        n_valid = len(buf)
+        while len(buf) < self.batch_size:
+            buf.append(buf[-1])
+        batch = {
+            "image": np.stack([ex["image"] for ex in buf]),
+            "video_ind": np.array([ex["video_ind"] for ex in buf]),
+            "frame_ind": np.array([ex["frame_ind"] for ex in buf]),
+            "centroids": np.stack([ex["centroids"] for ex in buf]).astype("f4"),
+            "centroid_mask": np.stack([ex["centroid_mask"] for ex in buf]),
+        }
+        return batch, n_valid
+
+    def _predict_generator(self, provider):
+        if self._infer_fn is None:
+            self._infer_fn = self._build_infer_fn()
+        total = len(provider)
+        done = 0
+        t0 = time.time()
+        gt_mode = self.centroid_model is None
+        batches = (
+            self._gt_centroid_batches(provider)
+            if gt_mode
+            else batch_examples(provider, self.batch_size)
+        )
+        for batch, n_valid in batches:
+            if gt_mode:
+                out = self._infer_fn(
+                    jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["centroids"]),
+                    jnp.asarray(batch["centroid_mask"]),
+                )
+            else:
+                out = self._infer_fn(jnp.asarray(batch["image"]))
+            ex = {k: np.asarray(v) for k, v in out.items()}
+            ex.update(
+                image=batch["image"],
+                video_ind=batch["video_ind"],
+                frame_ind=batch["frame_ind"],
+                n_valid=n_valid,
+            )
+            done += n_valid
+            if self.verbosity != "none":
+                self._report_progress(done, total, t0)
+            yield ex
+
+    def _make_labeled_frames_from_generator(self, generator, provider):
+        if self.confmap_config is not None:
+            skeleton = self.confmap_config.data.labels.skeletons[0]
+        else:
+            skeleton = self.centroid_config.data.labels.skeletons[0]
+        frames = []
+        for ex in generator:
+            for i in range(ex["n_valid"]):
+                instances = []
+                for k in range(ex["instance_peaks"].shape[1]):
+                    if not ex["centroid_mask"][i, k]:
+                        continue
+                    pts = ex["instance_peaks"][i, k]
+                    if np.all(np.isnan(pts)):
+                        continue
+                    instances.append(
+                        PredictedInstance.from_arrays(
+                            points=pts,
+                            point_confidences=ex["instance_peak_vals"][i, k],
+                            instance_score=float(ex["centroid_vals"][i, k]),
+                            skeleton=skeleton,
+                        )
+                    )
+                frames.append(
+                    LabeledFrame(
+                        video=provider.videos[int(ex["video_ind"][i])],
+                        frame_idx=int(ex["frame_ind"][i]),
+                        instances=instances,
+                    )
+                )
+        return _attach_tracker(self, frames, provider)
+
+
+# --------------------------------------------------------------------------- #
+# User-facing loader
+# --------------------------------------------------------------------------- #
+
+
+def load_model(
+    model_path: Union[str, Sequence[str]],
+    batch_size: int = 4,
+    peak_threshold: float = 0.2,
+    refinement: str = "integral",
+    tracker: Optional[str] = None,
+    tracker_window: int = 5,
+    tracker_max_instances: Optional[int] = None,
+    max_instances: Optional[int] = None,
+    **kwargs,
+) -> Predictor:
+    """Load trained model(s) as a ready-to-use predictor.
+
+    Mirrors ``sleap.load_model`` (reference inference.py:4865).
+    """
+    predictor = Predictor.from_model_paths(
+        model_path,
+        peak_threshold=peak_threshold,
+        integral_refinement=(refinement == "integral"),
+        batch_size=batch_size,
+        max_instances=max_instances,
+        **kwargs,
+    )
+    if tracker is not None:
+        from sleap_tpu.tracking.tracker import Tracker
+
+        predictor.tracker = Tracker.make_tracker_by_name(
+            tracker=tracker,
+            track_window=tracker_window,
+            max_tracks=tracker_max_instances,
+        )
+    return predictor

@@ -101,8 +101,14 @@ def _make_video_search(
         for _ in range(6):
             hints.append(anc)
             anc = os.path.dirname(anc)
+        # Try every suffix of the stored path under every hint directory —
+        # this resolves paths recorded on other machines/OSes (e.g. Windows
+        # drive-absolute paths in the reference fixtures).
+        parts = path.replace("\\", "/").split("/")
+        suffixes = ["/".join(parts[i:]) for i in range(len(parts))][-6:]
         for hint in hints:
-            for cand in (os.path.join(hint, path), os.path.join(hint, os.path.basename(path))):
+            for suffix in suffixes:
+                cand = os.path.join(hint, suffix)
                 if os.path.exists(cand):
                     return cand
         return path

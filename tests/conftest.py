@@ -74,3 +74,7 @@ def min_labels(minimal_slp):
     from sleap_tpu.core.labels import Labels
 
     return Labels.load_file(minimal_slp)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
