@@ -1,0 +1,197 @@
+"""Bottom-up predictor: multi-peak confmaps + PAF grouping.
+
+Rebuild of ``/root/reference/sleap/nn/inference.py``
+(``BottomUpInferenceLayer:2737``, ``BottomUpPredictor:3056``). The network
+forward pass, local peak finding, PAF line scoring, and Hungarian matching run
+in one jitted computation; greedy instance assembly runs on host over the
+small matched-connection lists (see :mod:`sleap_tpu.ops.paf_grouping`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterator, List, Optional
+
+import attr
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
+from sleap_tpu.data.providers import batch_examples
+from sleap_tpu.inference.predictors import (
+    Predictor,
+    TrainedModel,
+    _adjust_peaks,
+    _attach_tracker,
+    _preprocess,
+    load_trained_model,
+)
+from sleap_tpu.models.model import find_head
+from sleap_tpu.ops.paf_grouping import PAFScorer, match_candidates_batch, score_paf_lines_batch
+from sleap_tpu.ops.peak_finding import find_local_peaks, find_local_peaks_with_offsets
+
+
+@attr.s(auto_attribs=True)
+class BottomUpPredictor(Predictor):
+    """Multi-instance inference via PAF grouping (inference.py:3056)."""
+
+    bottomup_model: Optional[TrainedModel] = None
+    peak_threshold: float = 0.2
+    integral_refinement: bool = True
+    integral_patch_size: int = 5
+    batch_size: int = 4
+    max_edge_length_ratio: float = 0.25
+    dist_penalty_weight: float = 1.0
+    paf_line_points: int = 10
+    min_line_scores: float = 0.25
+    max_instances: Optional[int] = None
+    max_peaks_per_node: int = 16
+    tracker: Any = None
+
+    _infer_fn: Any = attr.ib(default=None, init=False, repr=False)
+    _paf_scorer: Any = attr.ib(default=None, init=False, repr=False)
+
+    @classmethod
+    def from_trained_models(cls, model_path: str, **kwargs) -> "BottomUpPredictor":
+        return cls(bottomup_model=load_trained_model(model_path), **kwargs)
+
+    @property
+    def bottomup_config(self):
+        return self.bottomup_model.config
+
+    def _make_paf_scorer(self) -> PAFScorer:
+        return PAFScorer.from_config(
+            self.bottomup_config.model.heads.multi_instance,
+            max_edge_length_ratio=self.max_edge_length_ratio,
+            dist_penalty_weight=self.dist_penalty_weight,
+            n_points=self.paf_line_points,
+            min_line_scores=self.min_line_scores,
+        )
+
+    def _build_infer_fn(self):
+        tm = self.bottomup_model
+        heads = self.bottomup_config.model.heads.multi_instance
+        cm_stride = heads.confmaps.output_stride
+        paf_stride = heads.pafs.output_stride
+        input_scale = tm.input_scale
+        pad = self.bottomup_config.data.preprocessing.pad_to_stride or tm.model.maximum_stride
+        threshold = self.peak_threshold
+        refinement = "integral" if self.integral_refinement else "local"
+        patch = self.integral_patch_size
+        K = self.max_peaks_per_node
+        scorer = self._make_paf_scorer()
+        edge_inds = jnp.asarray(scorer.edge_inds, jnp.int32)
+
+        @jax.jit
+        def infer(images):
+            imgs = _preprocess(images, tm.grayscale, input_scale, pad)
+            out = tm.module.apply(tm.variables, imgs, train=False)
+            cms = out[find_head(out, "MultiInstanceConfmapsHead")]
+            pafs = out[find_head(out, "PartAffinityFieldsHead")]
+            off_key = find_head(out, "OffsetRefinementHead")
+            if off_key is not None:
+                peaks, vals, mask = find_local_peaks_with_offsets(
+                    cms, out[off_key], max_peaks=K, threshold=threshold
+                )
+            else:
+                peaks, vals, mask = find_local_peaks(
+                    cms, max_peaks=K, threshold=threshold,
+                    refinement=refinement, integral_patch_size=patch,
+                )
+            peaks = peaks * float(cm_stride)  # model-input scale
+            scores = score_paf_lines_batch(
+                pafs,
+                peaks,
+                edge_inds,
+                n_line_points=scorer.n_points,
+                pafs_stride=paf_stride,
+                max_edge_length_ratio=scorer.max_edge_length_ratio,
+                dist_penalty_weight=scorer.dist_penalty_weight,
+            )
+            dst_for_src, match_scores, match_valid = match_candidates_batch(scores)
+            return {
+                "peaks": peaks,
+                "peak_vals": vals,
+                "peak_mask": mask,
+                "dst_for_src": dst_for_src,
+                "match_scores": match_scores,
+                "match_valid": match_valid,
+            }
+
+        return infer
+
+    def _predict_generator(self, provider):
+        if self._infer_fn is None:
+            self._infer_fn = self._build_infer_fn()
+            self._paf_scorer = self._make_paf_scorer()
+        input_scale = self.bottomup_model.input_scale
+        total = len(provider)
+        done = 0
+        t0 = time.time()
+        for batch, n_valid in batch_examples(provider, self.batch_size):
+            out = self._infer_fn(jnp.asarray(batch["image"]))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            # Host: greedy assembly per sample.
+            instance_peaks, instance_peak_vals, instance_scores = [], [], []
+            for s in range(out["peaks"].shape[0]):
+                inst, inst_vals, inst_scores = self._paf_scorer.group_sample(
+                    out["peaks"][s],
+                    out["peak_vals"][s],
+                    out["dst_for_src"][s],
+                    out["match_scores"][s],
+                    out["match_valid"][s],
+                )
+                if input_scale != 1.0:
+                    inst = inst / input_scale + 0.5
+                if self.max_instances is not None and len(inst) > self.max_instances:
+                    order = np.argsort(-inst_scores)[: self.max_instances]
+                    inst, inst_vals, inst_scores = (
+                        inst[order], inst_vals[order], inst_scores[order],
+                    )
+                instance_peaks.append(inst)
+                instance_peak_vals.append(inst_vals)
+                instance_scores.append(inst_scores)
+            ex = {
+                "instance_peaks": instance_peaks,
+                "instance_peak_vals": instance_peak_vals,
+                "instance_scores": instance_scores,
+                "image": batch["image"],
+                "video_ind": batch["video_ind"],
+                "frame_ind": batch["frame_ind"],
+                "n_valid": n_valid,
+            }
+            done += n_valid
+            if self.verbosity != "none":
+                self._report_progress(done, total, t0)
+            yield ex
+
+    def _make_labeled_frames_from_generator(self, generator, provider):
+        skeleton = self.bottomup_config.data.labels.skeletons[0]
+        frames = []
+        for ex in generator:
+            for i in range(ex["n_valid"]):
+                instances = []
+                for pts, confs, score in zip(
+                    ex["instance_peaks"][i],
+                    ex["instance_peak_vals"][i],
+                    ex["instance_scores"][i],
+                ):
+                    if np.all(np.isnan(pts)):
+                        continue
+                    instances.append(
+                        PredictedInstance.from_arrays(
+                            points=pts,
+                            point_confidences=confs,
+                            instance_score=float(score),
+                            skeleton=skeleton,
+                        )
+                    )
+                frames.append(
+                    LabeledFrame(
+                        video=provider.videos[int(ex["video_ind"][i])],
+                        frame_idx=int(ex["frame_ind"][i]),
+                        instances=instances,
+                    )
+                )
+        return _attach_tracker(self, frames, provider)

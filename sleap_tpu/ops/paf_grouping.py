@@ -1,0 +1,365 @@
+"""Part-affinity-field grouping: peaks -> multi-instance poses.
+
+Rebuild of ``/root/reference/sleap/nn/paf_grouping.py`` with a TPU-native
+static-shape layout. The reference operates on flat ragged peak lists with two
+py_function graph breaks (scipy Hungarian at :639, numpy assembly at :1115).
+Here:
+
+- Peaks arrive channel-grouped with a static bound K per node
+  (from :func:`sleap_tpu.ops.peak_finding.find_local_peaks`), so connection
+  candidates are simply all (K x K) pairs per edge — no ragged bookkeeping.
+- Line-integral scoring (:func:`score_paf_lines_batch`) and Hungarian matching
+  (:func:`match_candidates_batch`, via the on-chip LAP solver) run fully
+  jitted, shaped (samples, n_edges, K, K).
+- Greedy instance assembly (inherently sequential union-find-ish dict logic,
+  reference :799-914) runs on host numpy over the tiny matched-connection
+  lists; scores/coordinates were already computed on-chip.
+
+Scoring semantics match the reference exactly: n_line_points samples between
+peak pairs, nearest-pixel PAF lookup, mean dot product with the unit
+displacement, distance penalty ``min(max_len/dist - 1, 0) * weight``
+(:278-404), and matching on the full score matrix with NaN->inf costs
+(:553-671) followed by ``min_line_scores`` filtering (:1067).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import attr
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sleap_tpu.ops.lap import PAD_COST, batched_solve_lap
+
+
+def toposort_edges(edge_inds: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:
+    """Topological-then-BFS edge ordering (reference :1293)."""
+    import networkx as nx
+
+    edges = [tuple(e) for e in edge_inds]
+    dg = nx.DiGraph(edges)
+    root_ind = next(nx.topological_sort(dg))
+    sorted_edges = nx.bfs_edges(dg, root_ind)
+    return tuple(edges.index(edge) for edge in sorted_edges)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_line_points",
+        "pafs_stride",
+        "max_edge_length_ratio",
+        "dist_penalty_weight",
+    ),
+)
+def score_paf_lines_batch(
+    pafs: jnp.ndarray,
+    peaks: jnp.ndarray,
+    edge_inds: jnp.ndarray,
+    n_line_points: int = 10,
+    pafs_stride: int = 1,
+    max_edge_length_ratio: float = 0.25,
+    dist_penalty_weight: float = 1.0,
+) -> jnp.ndarray:
+    """Score all candidate connections for every edge.
+
+    Args:
+        pafs: (S, H', W', 2 * n_edges) PAFs at stride ``pafs_stride``.
+        peaks: (S, n_nodes, K, 2) xy peaks in image scale (NaN = missing).
+        edge_inds: (n_edges, 2) int (src_node, dst_node).
+
+    Returns:
+        (S, n_edges, K, K) penalized line scores; NaN where either endpoint
+        is missing.
+    """
+    S, Hs, Ws, _ = pafs.shape
+    E = edge_inds.shape[0]
+    K = peaks.shape[2]
+    max_edge_length = (
+        max_edge_length_ratio * float(max(pafs.shape[1:])) * pafs_stride
+    )
+
+    src = jnp.take(peaks, edge_inds[:, 0], axis=1)  # (S, E, K, 2)
+    dst = jnp.take(peaks, edge_inds[:, 1], axis=1)
+
+    src_e = src[:, :, :, None, :]  # (S, E, K, 1, 2)
+    dst_e = dst[:, :, None, :, :]  # (S, E, 1, K, 2)
+
+    # Line sample points (nearest-pixel subscripts into the PAF grid).
+    t = jnp.linspace(0.0, 1.0, n_line_points).reshape(1, 1, 1, 1, -1, 1)
+    xy = src_e[..., None, :] + (dst_e - src_e)[..., None, :] * t  # (S,E,K,K,P,2)
+    cols = jnp.round(xy[..., 0] / pafs_stride).astype(jnp.int32)
+    rows = jnp.round(xy[..., 1] / pafs_stride).astype(jnp.int32)
+    cols = jnp.clip(jnp.nan_to_num(cols), 0, Ws - 1)
+    rows = jnp.clip(jnp.nan_to_num(rows), 0, Hs - 1)
+    flat_idx = rows * Ws + cols  # (S, E, K, K, P)
+
+    # Gather PAF x/y channels for each edge: layout (S, H, W, E, 2).
+    pafs_r = pafs.reshape(S, Hs * Ws, E, 2)
+    # -> (S, E, HW, 2) for take_along_axis over HW.
+    pafs_r = jnp.transpose(pafs_r, (0, 2, 1, 3))
+    idx = flat_idx.reshape(S, E, -1)  # (S, E, K*K*P)
+    paf_x = jnp.take_along_axis(pafs_r[..., 0], idx, axis=2).reshape(S, E, K, K, -1)
+    paf_y = jnp.take_along_axis(pafs_r[..., 1], idx, axis=2).reshape(S, E, K, K, -1)
+
+    disp = dst_e - src_e  # (S, E, K, K, 2)
+    length = jnp.sqrt(jnp.sum(jnp.square(disp), axis=-1, keepdims=True))
+    unit = disp / length
+
+    line_scores = paf_x * unit[..., 0:1] + paf_y * unit[..., 1:2]  # (S,E,K,K,P)
+    mean_scores = jnp.mean(line_scores, axis=-1)
+
+    penalty = (
+        jnp.minimum(max_edge_length / length[..., 0] - 1.0, 0.0) * dist_penalty_weight
+    )
+    return mean_scores + penalty  # NaN propagates from missing peaks
+
+
+@jax.jit
+def match_candidates_batch(
+    scores: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hungarian matching per (sample, edge) on the negated score matrix.
+
+    Args:
+        scores: (S, E, K, K); NaN marks invalid candidate pairs.
+
+    Returns:
+        dst_for_src: (S, E, K) int32 matched destination peak per source peak.
+        match_scores: (S, E, K) the (un-negated) line score of each match.
+        match_valid: (S, E, K) bool — True where the match used a real entry.
+    """
+    S, E, K, _ = scores.shape
+    cost = jnp.where(jnp.isnan(scores), PAD_COST, -scores)
+    col4row, _ = batched_solve_lap(cost.reshape(S * E, K, K))
+    dst_for_src = col4row.reshape(S, E, K)
+    picked = jnp.take_along_axis(scores.reshape(S * E, K, K), col4row[..., None], axis=2)
+    match_scores = picked[..., 0].reshape(S, E, K)
+    match_valid = ~jnp.isnan(match_scores)
+    return dst_for_src, match_scores, match_valid
+
+
+# --------------------------------------------------------------------------- #
+# Host-side assembly
+# --------------------------------------------------------------------------- #
+
+
+def assign_connections_to_instances(
+    connections: Dict[int, List[Tuple[int, int, float]]],
+    edge_inds: Sequence[Tuple[int, int]],
+    sorted_edge_inds: Sequence[int],
+    min_instance_peaks: Union[int, float] = 0,
+    n_nodes: Optional[int] = None,
+) -> Dict[Tuple[int, int], int]:
+    """Greedy union of connections into instances (reference :799-914).
+
+    Args:
+        connections: {edge_ind: [(src_peak, dst_peak, score), ...]}.
+
+    Returns:
+        {(node_ind, peak_ind): instance_id}.
+    """
+    instance_assignments: Dict[Tuple[int, int], int] = {}
+    for e in sorted_edge_inds:
+        src_node, dst_node = edge_inds[e]
+        for src_peak, dst_peak, _score in connections.get(e, []):
+            src_id = (src_node, src_peak)
+            dst_id = (dst_node, dst_peak)
+            src_instance = instance_assignments.get(src_id)
+            dst_instance = instance_assignments.get(dst_id)
+            if src_instance is None and dst_instance is None:
+                new_instance = max(instance_assignments.values(), default=-1) + 1
+                instance_assignments[src_id] = new_instance
+                instance_assignments[dst_id] = new_instance
+            elif src_instance is not None and dst_instance is None:
+                instance_assignments[dst_id] = src_instance
+            elif src_instance is not None and dst_instance is not None:
+                # Merge if the two partial instances share no node types.
+                instance_assignments[dst_id] = src_instance
+                src_nodes = {
+                    pid[0]
+                    for pid, inst in instance_assignments.items()
+                    if inst == src_instance
+                }
+                dst_nodes = {
+                    pid[0]
+                    for pid, inst in instance_assignments.items()
+                    if inst == dst_instance
+                }
+                if not src_nodes & dst_nodes:
+                    for pid, inst in list(instance_assignments.items()):
+                        if inst == dst_instance:
+                            instance_assignments[pid] = src_instance
+
+    if min_instance_peaks > 0:
+        if isinstance(min_instance_peaks, float):
+            if n_nodes is None:
+                n_nodes = len({n for e in edge_inds for n in e})
+            min_instance_peaks = int(min_instance_peaks * n_nodes)
+        ids, counts = np.unique(list(instance_assignments.values()), return_counts=True)
+        keep = {i for i, c in zip(ids, counts) if c >= min_instance_peaks}
+        instance_assignments = {
+            pid: inst for pid, inst in instance_assignments.items() if inst in keep
+        }
+    return instance_assignments
+
+
+def make_predicted_instances(
+    peaks: np.ndarray,
+    peak_vals: np.ndarray,
+    connections: Dict[int, List[Tuple[int, int, float]]],
+    instance_assignments: Dict[Tuple[int, int], int],
+    edge_inds: Sequence[Tuple[int, int]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fill (n_instances, n_nodes, 2) arrays from assignments (reference :917).
+
+    Args:
+        peaks: (n_nodes, K, 2); peak_vals: (n_nodes, K).
+    """
+    instance_ids = sorted(set(instance_assignments.values()))
+    remap = {old: new for new, old in enumerate(instance_ids)}
+    n_instances = len(instance_ids)
+    n_nodes = peaks.shape[0]
+
+    instance_scores = np.zeros(n_instances, "float32")
+    for e, conns in connections.items():
+        src_node, dst_node = edge_inds[e]
+        for src_peak, dst_peak, score in conns:
+            src_id = (src_node, src_peak)
+            if src_id in instance_assignments:
+                instance_scores[remap[instance_assignments[src_id]]] += score
+
+    pred_instances = np.full((n_instances, n_nodes, 2), np.nan, "float32")
+    pred_peak_scores = np.full((n_instances, n_nodes), np.nan, "float32")
+    for (node_ind, peak_ind), inst in instance_assignments.items():
+        i = remap[inst]
+        pred_instances[i, node_ind] = peaks[node_ind, peak_ind]
+        pred_peak_scores[i, node_ind] = peak_vals[node_ind, peak_ind]
+    return pred_instances, pred_peak_scores, instance_scores
+
+
+@attr.s(auto_attribs=True)
+class PAFScorer:
+    """Peak grouping via PAFs (reference :1319).
+
+    API: :meth:`predict` consumes on-chip peaks + PAFs and returns grouped
+    instances per sample (host lists, NaN-padded arrays).
+    """
+
+    part_names: List[str]
+    edges: List[Tuple[str, str]]
+    pafs_stride: int = 1
+    max_edge_length_ratio: float = 0.25
+    dist_penalty_weight: float = 1.0
+    n_points: int = 10
+    min_instance_peaks: Union[int, float] = 0
+    min_line_scores: float = 0.25
+
+    @property
+    def edge_inds(self) -> List[Tuple[int, int]]:
+        return [
+            (self.part_names.index(s), self.part_names.index(d)) for s, d in self.edges
+        ]
+
+    @property
+    def sorted_edge_inds(self) -> Tuple[int, ...]:
+        return toposort_edges(self.edge_inds)
+
+    @classmethod
+    def from_config(
+        cls,
+        config,
+        max_edge_length_ratio: float = 0.25,
+        dist_penalty_weight: float = 1.0,
+        n_points: int = 10,
+        min_instance_peaks: Union[int, float] = 0,
+        min_line_scores: float = 0.25,
+    ) -> "PAFScorer":
+        """Build from a ``MultiInstanceConfig`` (reference :1372)."""
+        return cls(
+            part_names=list(config.confmaps.part_names),
+            edges=[tuple(e) for e in config.pafs.edges],
+            pafs_stride=config.pafs.output_stride,
+            max_edge_length_ratio=max_edge_length_ratio,
+            dist_penalty_weight=dist_penalty_weight,
+            n_points=n_points,
+            min_instance_peaks=min_instance_peaks,
+            min_line_scores=min_line_scores,
+        )
+
+    def score_and_match(self, pafs, peaks):
+        """On-chip: line scoring + Hungarian matching."""
+        scores = score_paf_lines_batch(
+            pafs,
+            peaks,
+            jnp.asarray(self.edge_inds, jnp.int32),
+            n_line_points=self.n_points,
+            pafs_stride=self.pafs_stride,
+            max_edge_length_ratio=self.max_edge_length_ratio,
+            dist_penalty_weight=self.dist_penalty_weight,
+        )
+        return match_candidates_batch(scores)
+
+    def group_sample(
+        self,
+        peaks: np.ndarray,
+        peak_vals: np.ndarray,
+        dst_for_src: np.ndarray,
+        match_scores: np.ndarray,
+        match_valid: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host: matched connections -> grouped instances for one sample."""
+        connections: Dict[int, List[Tuple[int, int, float]]] = {}
+        E, K = dst_for_src.shape
+        for e in range(E):
+            conns = []
+            for src_peak in range(K):
+                if not match_valid[e, src_peak]:
+                    continue
+                score = float(match_scores[e, src_peak])
+                if score < self.min_line_scores:
+                    continue
+                conns.append((src_peak, int(dst_for_src[e, src_peak]), score))
+            # Reference ordering: connections within an edge are processed in
+            # source-peak order (matching tf_linear_sum_assignment output).
+            connections[e] = conns
+        assignments = assign_connections_to_instances(
+            connections,
+            self.edge_inds,
+            self.sorted_edge_inds,
+            min_instance_peaks=self.min_instance_peaks,
+            n_nodes=len(self.part_names),
+        )
+        return make_predicted_instances(
+            peaks, peak_vals, connections, assignments, self.edge_inds
+        )
+
+    def predict(
+        self, pafs, peaks, peak_vals, peak_mask
+    ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Full pipeline for a batch.
+
+        Args:
+            pafs: (S, H', W', 2*n_edges) jnp array.
+            peaks: (S, n_nodes, K, 2) jnp array (NaN-padded).
+            peak_vals / peak_mask: (S, n_nodes, K).
+
+        Returns:
+            Per-sample tuples (instances (n_i, n_nodes, 2), peak_scores,
+            instance_scores).
+        """
+        dst_for_src, match_scores, match_valid = self.score_and_match(pafs, peaks)
+        peaks = np.asarray(peaks)
+        peak_vals = np.asarray(peak_vals)
+        dst_for_src = np.asarray(dst_for_src)
+        match_scores = np.asarray(match_scores)
+        match_valid = np.asarray(match_valid)
+        return [
+            self.group_sample(
+                peaks[s], peak_vals[s], dst_for_src[s], match_scores[s], match_valid[s]
+            )
+            for s in range(peaks.shape[0])
+        ]
