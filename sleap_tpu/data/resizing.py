@@ -48,7 +48,7 @@ def resize_image(image: jnp.ndarray, scale: float) -> jnp.ndarray:
     h, w = image.shape[-3], image.shape[-2]
     new_h, new_w = int(h * scale), int(w * scale)
     new_shape = image.shape[:-3] + (new_h, new_w, image.shape[-1])
-    resized = jax.image.resize(image.astype(jnp.float32), new_shape, method="bilinear")
+    resized = jax.image.resize(image.astype(jnp.float32), new_shape, method="bilinear", antialias=False)
     if jnp.issubdtype(image.dtype, jnp.integer):
         resized = jnp.trunc(resized)
     return resized.astype(image.dtype)
@@ -65,7 +65,7 @@ def resize_and_pad_to_target(
     scale = min(target_height / h, target_width / w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
     new_shape = image.shape[:-3] + (new_h, new_w, image.shape[-1])
-    resized = jax.image.resize(image.astype(jnp.float32), new_shape, method="bilinear")
+    resized = jax.image.resize(image.astype(jnp.float32), new_shape, method="bilinear", antialias=False)
     pads = [(0, 0)] * image.ndim
     pads[-3] = (0, target_height - new_h)
     pads[-2] = (0, target_width - new_w)

@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-PAD_COST = 1e9
+# Forbidden-entry cost. Deliberately small enough that float32 dual updates
+# (which reach PAD magnitude when padded entries get assigned) keep enough
+# precision to order the *real* costs: eps(1e3) ~ 6e-5. Real costs in this
+# framework are similarity/line scores in roughly [-10, 10].
+PAD_COST = 1e3
 _INF = jnp.inf
 
 
