@@ -1,0 +1,126 @@
+"""Benchmark: top-down inference FPS at 1024x1024 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference claims "up to 600+ FPS" batch inference at 1024px
+top-down on a consumer GPU (/root/reference/README.rst:55).
+
+The benchmarked computation is the full fused top-down path on-chip:
+uint8 batch -> normalize -> centroid UNet (stride 16) -> local peak NMS +
+integral refinement -> bilinear crops -> centered-instance UNet -> global
+peaks + offset adjustment. Weights are synthetic (throughput is
+weight-independent); compute dtype is bfloat16 (MXU-native).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+
+BATCH = 16
+IMG = 1024
+CROP = 160
+MAX_INSTANCES = 8
+BASELINE_FPS = 600.0
+
+
+def build_predictor():
+    from sleap_tpu.config import (
+        BackboneConfig,
+        CenteredInstanceConfmapsHeadConfig,
+        CentroidsHeadConfig,
+        DataConfig,
+        HeadsConfig,
+        InstanceCroppingConfig,
+        ModelConfig,
+        PreprocessingConfig,
+        TrainingJobConfig,
+        UNetConfig,
+    )
+    from sleap_tpu.inference.predictors import TopDownPredictor, TrainedModel
+    from sleap_tpu.models.model import Model
+
+    def make_trained(model_cfg, input_hw, dtype):
+        cfg = TrainingJobConfig(
+            model=model_cfg,
+            data=DataConfig(
+                preprocessing=PreprocessingConfig(input_scaling=1.0, pad_to_stride=16),
+                instance_cropping=InstanceCroppingConfig(crop_size=CROP),
+            ),
+        )
+        model = Model.from_config(model_cfg)
+        module = model.make_flax_module(compute_dtype=dtype)
+        variables = module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, input_hw, input_hw, 1)), train=False
+        )
+        return TrainedModel(
+            config=cfg, model=model, module=module, variables=variables, input_channels=1
+        )
+
+    centroid_cfg = ModelConfig(
+        backbone=BackboneConfig(
+            unet=UNetConfig(max_stride=16, output_stride=4, filters=16, filters_rate=2.0)
+        ),
+        heads=HeadsConfig(centroid=CentroidsHeadConfig(output_stride=4, sigma=2.5)),
+    )
+    instance_cfg = ModelConfig(
+        backbone=BackboneConfig(
+            unet=UNetConfig(max_stride=16, output_stride=2, filters=16, filters_rate=2.0)
+        ),
+        heads=HeadsConfig(
+            centered_instance=CenteredInstanceConfmapsHeadConfig(
+                part_names=[f"n{i}" for i in range(13)], output_stride=2, sigma=2.5
+            )
+        ),
+    )
+    dtype = jnp.bfloat16
+    predictor = TopDownPredictor(
+        centroid_model=make_trained(centroid_cfg, 128, dtype),
+        confmap_model=make_trained(instance_cfg, CROP, dtype),
+        max_instances=MAX_INSTANCES,
+        batch_size=BATCH,
+    )
+    return predictor
+
+
+def main():
+    predictor = build_predictor()
+    infer = predictor._build_infer_fn()
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(BATCH, IMG, IMG, 1), dtype=np.uint8)
+    frames = jnp.asarray(frames)
+
+    # Warmup / compile.
+    out = infer(frames)
+    jax.block_until_ready(out)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = infer(frames)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    fps = n_iters * BATCH / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "topdown_inference_fps_1024",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""``sleap-train``: train a model from a config + labels.
+
+Rebuild of the reference CLI (``/root/reference/sleap/nn/training.py:1802``
+``create_trainer_using_cli`` and ``main:2038``) with the same argument
+surface (minus GPU-selection flags, replaced by JAX device handling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train a sleap-tpu model.")
+    parser.add_argument(
+        "training_job_path",
+        help="Path to a training job profile JSON or a model run folder.",
+    )
+    parser.add_argument(
+        "labels_path", nargs="?", default=None,
+        help="Path to labels (.slp) to use for training.",
+    )
+    parser.add_argument("--val_labels", "--val", default=None)
+    parser.add_argument("--test_labels", "--test", default=None)
+    parser.add_argument("--base_checkpoint", default=None)
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument("--save_viz", action="store_true")
+    parser.add_argument("--zmq", action="store_true")
+    parser.add_argument("--controller_port", type=int, default=9000)
+    parser.add_argument("--publish_port", type=int, default=9001)
+    parser.add_argument("--run_name", default=None)
+    parser.add_argument("--prefix", default="")
+    parser.add_argument("--suffix", default="")
+    parser.add_argument("--cpu", action="store_true", help="Run on CPU only.")
+    return parser
+
+
+def create_trainer_using_cli(args: Optional[List[str]] = None):
+    from sleap_tpu.config import TrainingJobConfig
+    from sleap_tpu.training.trainer import Trainer
+
+    parser = make_parser()
+    ns = parser.parse_args(args)
+
+    if ns.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = TrainingJobConfig.load_json(ns.training_job_path)
+    if ns.labels_path:
+        cfg.data.labels.training_labels = ns.labels_path
+    if ns.val_labels:
+        cfg.data.labels.validation_labels = ns.val_labels
+    if ns.test_labels:
+        cfg.data.labels.test_labels = ns.test_labels
+    if ns.base_checkpoint:
+        cfg.model.base_checkpoint = ns.base_checkpoint
+    if ns.run_name:
+        cfg.outputs.run_name = ns.run_name
+    if ns.prefix:
+        cfg.outputs.run_name_prefix = ns.prefix
+    if ns.suffix:
+        cfg.outputs.run_name_suffix = ns.suffix
+    if ns.tensorboard:
+        cfg.outputs.tensorboard.write_logs = True
+    if ns.zmq:
+        cfg.outputs.zmq.publish_updates = True
+        cfg.outputs.zmq.subscribe_to_controller = True
+        cfg.outputs.zmq.controller_address = f"tcp://127.0.0.1:{ns.controller_port}"
+        cfg.outputs.zmq.publish_address = f"tcp://127.0.0.1:{ns.publish_port}"
+
+    return Trainer.from_config(cfg)
+
+
+def main(args: Optional[List[str]] = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    trainer = create_trainer_using_cli(args)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ Fixture data is read directly from the read-only reference checkout
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"  # JAX_PLATFORMS is ignored by the axon plugin
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
@@ -17,6 +17,8 @@ os.environ.setdefault(
 from pathlib import Path
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import pytest
 
 # Single-core environment: persist compiled executables across test runs.
