@@ -1,0 +1,239 @@
+"""Kalman-filter identity tracking.
+
+Rebuild of ``/root/reference/sleap/nn/tracker/kalman.py:35``
+(``BareKalmanTracker``) and the ``KalmanTracker`` wrapper
+(``/root/reference/sleap/nn/tracking.py:1312``): per-track constant-velocity
+filters over selected node coordinates, initialized from a window of frames
+tracked by another tracker (typically flow), with NaN-masked observations.
+The reference uses pykalman's EM fitting; here the filter is a closed-form
+constant-velocity KF (no EM), which tracks equivalently for this use case and
+has no external dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import attr
+import numpy as np
+
+from sleap_tpu.core.instance import Instance, PredictedInstance, Track
+from sleap_tpu.tracking.components import greedy_matching
+
+
+class ConstantVelocityKF:
+    """Constant-velocity Kalman filter over a flat coordinate vector.
+
+    State per coordinate: (position, velocity). Missing observations (NaN)
+    update only via prediction.
+    """
+
+    def __init__(self, initial_coords: np.ndarray, q: float = 1.0, r: float = 2.0):
+        n = initial_coords.size
+        self.n = n
+        self.x = np.zeros(2 * n)
+        self.x[0::2] = np.nan_to_num(initial_coords)
+        self.P = np.eye(2 * n) * 10.0
+        # Block-diagonal [1 1; 0 1] transitions.
+        self.F = np.eye(2 * n)
+        for i in range(n):
+            self.F[2 * i, 2 * i + 1] = 1.0
+        self.H = np.zeros((n, 2 * n))
+        for i in range(n):
+            self.H[i, 2 * i] = 1.0
+        self.Q = np.eye(2 * n) * q
+        self.R = np.eye(n) * r
+
+    def predict(self) -> np.ndarray:
+        self.x = self.F @ self.x
+        self.P = self.F @ self.P @ self.F.T + self.Q
+        return self.x[0::2].copy()
+
+    def update(self, coords: np.ndarray) -> None:
+        observed = ~np.isnan(coords)
+        if not observed.any():
+            return
+        H = self.H[observed]
+        R = self.R[np.ix_(observed, observed)]
+        z = coords[observed]
+        y = z - H @ self.x
+        S = H @ self.P @ H.T + R
+        K = self.P @ H.T @ np.linalg.inv(S)
+        self.x = self.x + K @ y
+        self.P = (np.eye(len(self.x)) - K @ H) @ self.P
+
+
+@attr.s(auto_attribs=True)
+class BareKalmanTracker:
+    """Per-track KFs over selected nodes (reference kalman.py:35)."""
+
+    node_indices: List[int]
+    instance_count: int
+    instance_score_thresh: float = 0.3
+    reset_gap_size: int = 5
+
+    kalman_filters: Dict[Track, ConstantVelocityKF] = attr.ib(factory=dict)
+    tracks: List[Track] = attr.ib(factory=list)
+    last_frame_for_track: Dict[Track, int] = attr.ib(factory=dict)
+
+    @classmethod
+    def initialize(
+        cls,
+        frames,
+        instance_count: int,
+        node_indices: List[int],
+        instance_score_thresh: float = 0.3,
+        reset_gap_size: int = 5,
+    ) -> "BareKalmanTracker":
+        obj = cls(
+            node_indices=node_indices,
+            instance_count=instance_count,
+            instance_score_thresh=instance_score_thresh,
+            reset_gap_size=reset_gap_size,
+        )
+        instances = [inst for lf in frames for inst in lf.predicted_instances]
+        obj.init_filters(instances)
+        return obj
+
+    def _coords(self, inst) -> np.ndarray:
+        return inst.numpy()[self.node_indices].flatten()
+
+    def init_filters(self, instances) -> None:
+        if not instances:
+            raise ValueError("Kalman filter must be initialized with instances.")
+        by_track: Dict[Track, List[np.ndarray]] = {}
+        for inst in instances:
+            if inst.track is None:
+                continue
+            by_track.setdefault(inst.track, []).append(self._coords(inst))
+        self.kalman_filters = {}
+        self.tracks = []
+        for track, coord_seq in list(by_track.items())[: self.instance_count]:
+            kf = ConstantVelocityKF(coord_seq[0])
+            for coords in coord_seq[1:]:
+                kf.predict()
+                kf.update(coords)
+            self.kalman_filters[track] = kf
+            self.tracks.append(track)
+
+    def track_frame(self, untracked_instances: List[Instance], t: int) -> List[Instance]:
+        """Assign tracks by distance to KF-predicted coordinates."""
+        if not self.kalman_filters:
+            return untracked_instances
+        predictions = {
+            track: kf.predict() for track, kf in self.kalman_filters.items()
+        }
+        usable = [
+            inst
+            for inst in untracked_instances
+            if getattr(inst, "score", 1.0) >= self.instance_score_thresh
+        ]
+        if not usable:
+            return untracked_instances
+
+        tracks = list(predictions.keys())
+        cost = np.full((len(usable), len(tracks)), np.inf)
+        for i, inst in enumerate(usable):
+            coords = self._coords(inst)
+            for j, track in enumerate(tracks):
+                diff = coords - predictions[track]
+                valid = ~np.isnan(diff)
+                if valid.any():
+                    cost[i, j] = float(np.nanmean(np.abs(diff)))
+        # Second-best suppression (reference tracking.py:585): ambiguous
+        # assignments (close best/second-best) are left unmatched.
+        matches = greedy_matching(cost)
+        tracked = []
+        matched_inst = set()
+        for i, j in matches:
+            if not np.isfinite(cost[i, j]):
+                continue
+            inst = usable[i]
+            inst.track = tracks[j]
+            inst.tracking_score = float(1.0 / (1.0 + cost[i, j]))
+            self.kalman_filters[tracks[j]].update(self._coords(inst))
+            self.last_frame_for_track[tracks[j]] = t
+            tracked.append(inst)
+            matched_inst.add(id(inst))
+        untouched = [
+            inst for inst in untracked_instances if id(inst) not in matched_inst
+        ]
+        return tracked + untouched
+
+    def has_stale_filters(self, t: int) -> bool:
+        """True when any track hasn't matched within the reset gap."""
+        return any(
+            t - self.last_frame_for_track.get(track, t) > self.reset_gap_size
+            for track in self.tracks
+        )
+
+
+@attr.s(auto_attribs=True)
+class KalmanTracker:
+    """Init-then-filter wrapper (reference tracking.py:1312): the init tracker
+    (typically flow) runs for the first ``init_frame_count`` frames, then the
+    KF takes over; on stale filters, re-initialization is triggered."""
+
+    init_tracker: Any
+    node_indices: List[int]
+    instance_count: int
+    init_frame_count: int = 10
+
+    kf: Optional[BareKalmanTracker] = None
+    init_frames: List = attr.ib(factory=list)
+    _frame_count: int = 0
+
+    @classmethod
+    def make_tracker(
+        cls,
+        init_tracker,
+        node_indices: List[int],
+        instance_count: int,
+        init_frame_count: int = 10,
+    ) -> "KalmanTracker":
+        return cls(
+            init_tracker=init_tracker,
+            node_indices=node_indices,
+            instance_count=instance_count,
+            init_frame_count=init_frame_count,
+        )
+
+    @property
+    def uses_image(self) -> bool:
+        return getattr(self.init_tracker, "uses_image", False)
+
+    @property
+    def is_valid(self) -> bool:
+        return True
+
+    def track(self, untracked_instances, img=None, t=None, img_hw=None):
+        self._frame_count += 1
+        if self.kf is None:
+            tracked = self.init_tracker.track(untracked_instances, img=img, t=t)
+            self.init_frames.append(tracked)
+            if len(self.init_frames) >= self.init_frame_count:
+                instances = [i for frame in self.init_frames for i in frame]
+                try:
+                    kf = BareKalmanTracker(
+                        node_indices=self.node_indices,
+                        instance_count=self.instance_count,
+                    )
+                    kf.init_filters(instances)
+                    self.kf = kf
+                except ValueError:
+                    self.init_frames = []
+            return tracked
+        t = t if t is not None else self._frame_count
+        tracked = self.kf.track_frame(untracked_instances, t)
+        if self.kf.has_stale_filters(t):
+            # Restart initialization with the flow tracker.
+            self.kf = None
+            self.init_frames = []
+        return tracked
+
+    def final_pass(self, frames) -> None:
+        if hasattr(self.init_tracker, "final_pass"):
+            self.init_tracker.final_pass(frames)
+
+    def get_name(self) -> str:
+        return f"kalman.{self.init_tracker.get_name()}"

@@ -456,6 +456,8 @@ class Tracker:
         oks_errors: Optional[list] = None,
         oks_score_weighting: bool = False,
         oks_normalization: str = "all",
+        kf_node_indices: Optional[list] = None,
+        kf_init_frame_count: int = 0,
         **kwargs,
     ) -> "Tracker":
         """Full option surface of the reference factory (tracking.py:844)."""
@@ -548,7 +550,7 @@ class Tracker:
                 instance_count=clean_instance_count, iou_threshold=clean_iou_threshold
             )
 
-        return cls(
+        tracker_obj = cls(
             track_window=track_window,
             similarity_function=similarity_map[similarity],
             matching_function=matching_map[match],
@@ -562,6 +564,16 @@ class Tracker:
             post_connect_single_breaks=post_connect_single_breaks,
             cleaner=cleaner,
         )
+        if kf_init_frame_count and kf_node_indices is not None:
+            from sleap_tpu.tracking.kalman import KalmanTracker
+
+            return KalmanTracker.make_tracker(
+                init_tracker=tracker_obj,
+                node_indices=list(kf_node_indices),
+                instance_count=target_instance_count or (max_tracks or 2),
+                init_frame_count=kf_init_frame_count,
+            )
+        return tracker_obj
 
 
 @attr.s(auto_attribs=True)
