@@ -56,11 +56,13 @@ def build_predictor():
     from sleap_tpu.inference.predictors import TopDownPredictor, TrainedModel
     from sleap_tpu.models.model import Model
 
-    def make_trained(model_cfg, input_hw, dtype):
+    def make_trained(model_cfg, input_hw, dtype, input_scaling=1.0):
         cfg = TrainingJobConfig(
             model=model_cfg,
             data=DataConfig(
-                preprocessing=PreprocessingConfig(input_scaling=1.0, pad_to_stride=16),
+                preprocessing=PreprocessingConfig(
+                    input_scaling=input_scaling, pad_to_stride=16
+                ),
                 instance_cropping=InstanceCroppingConfig(crop_size=CROP),
             ),
         )
@@ -91,7 +93,9 @@ def build_predictor():
     )
     dtype = jnp.bfloat16
     return TopDownPredictor(
-        centroid_model=make_trained(centroid_cfg, 128, dtype),
+        # Centroid stage at 0.5 input scale (the reference's standard top-down
+        # configuration for 1024px video).
+        centroid_model=make_trained(centroid_cfg, 128, dtype, input_scaling=0.5),
         confmap_model=make_trained(instance_cfg, CROP, dtype),
         max_instances=MAX_INSTANCES,
         batch_size=BATCH,

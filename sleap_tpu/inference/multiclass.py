@@ -34,6 +34,7 @@ from sleap_tpu.models.model import find_head
 from sleap_tpu.ops.identity import classify_peaks_from_maps, classify_peaks_from_vectors
 from sleap_tpu.ops.peak_finding import (
     crop_and_resize,
+    crop_bboxes_unit,
     find_global_peaks,
     find_global_peaks_with_offsets,
     find_local_peaks,
@@ -256,9 +257,9 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             crop_offsets = centroids_c - (crop_size / 2.0)
             S = images.shape[0]
             flat_centroids = jnp.nan_to_num(centroids_c.reshape(S * K, 2))
-            bboxes = make_centered_bboxes(flat_centroids, crop_size, crop_size)
+            top_left = flat_centroids - (crop_size - 1) / 2.0
             sample_inds = jnp.repeat(jnp.arange(S), K)
-            crops = crop_and_resize(full, bboxes, sample_inds, (crop_size, crop_size))
+            crops = crop_bboxes_unit(full, top_left, sample_inds, (crop_size, crop_size))
             crops = _cast_like(crops, full.dtype)
             crops_p = _preprocess(crops, itm.grayscale, i_scale, 1, resize_img=False)
             out2 = itm.module.apply(itm.variables, crops_p, train=False)

@@ -114,7 +114,8 @@ def crop_and_resize(
     else:
         xs = ((x1 + x2) / 2.0)[:, None]
 
-    imgs = images.astype(jnp.float32)[box_indices]  # (n, H, W, C)
+    imgs = images.astype(jnp.float32)
+    bi = box_indices.astype(jnp.int32)[:, None, None]  # (n, 1, 1)
 
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -122,16 +123,18 @@ def crop_and_resize(
     wx = (xs - x0)[:, None, :]  # (n, 1, crop_w)
 
     def gather2d(yi, xi):
-        # (n, crop_h) x (n, crop_w) integer coords -> (n, crop_h, crop_w, C)
+        # (n, crop_h) x (n, crop_w) integer coords -> (n, crop_h, crop_w, C).
+        # One batched gather straight out of the image batch — never
+        # materializes per-box copies of the full images.
         valid = (
             (yi[:, :, None] >= 0)
             & (yi[:, :, None] <= H - 1)
             & (xi[:, None, :] >= 0)
             & (xi[:, None, :] <= W - 1)
         )
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        vals = jax.vmap(lambda img, yy, xx: img[yy][:, xx])(imgs, yc, xc)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)[:, :, None]
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)[:, None, :]
+        vals = imgs[bi, yc, xc]  # advanced indexing -> single gather
         return jnp.where(valid[..., None], vals, 0.0)
 
     v00 = gather2d(y0, x0)
@@ -154,6 +157,60 @@ def crop_bboxes(
 ) -> jnp.ndarray:
     """Reference-compatible wrapper (peak_finding.py:135); static crop size."""
     return crop_and_resize(images, bboxes, sample_inds, crop_size)
+
+
+def crop_bboxes_unit(
+    images: jnp.ndarray,
+    top_left: jnp.ndarray,
+    box_indices: jnp.ndarray,
+    crop_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Bilinear crops with unit sample spacing — the top-down fast path.
+
+    Equivalent to :func:`crop_and_resize` when the box spans exactly
+    ``crop - 1`` pixels (sample spacing 1.0), which is always the case for
+    centered instance crops. Implemented as a vmapped ``dynamic_slice`` plus a
+    2x2-tap fractional blend instead of gathers — dynamic slices map onto TPU
+    DMA engines, while large gathers serialize badly.
+
+    Args:
+        images: (samples, H, W, C).
+        top_left: (n_boxes, 2) float (x1, y1) of each crop's first sample.
+        box_indices: (n_boxes,) int sample index per box.
+        crop_size: (crop_h, crop_w) static ints.
+
+    Returns:
+        (n_boxes, crop_h, crop_w, C) float32; out-of-image area contributes 0
+        (TF ``extrapolation_value=0``).
+    """
+    crop_h, crop_w = crop_size
+    H, W, C = images.shape[1], images.shape[2], images.shape[3]
+    pad_h, pad_w = crop_h + 1, crop_w + 1
+    # Pad in the input dtype (uint8 frames stay uint8: 4x less HBM traffic);
+    # the float conversion happens on the small sliced patches below.
+    padded = jnp.pad(images, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+
+    x1 = top_left[:, 0]
+    y1 = top_left[:, 1]
+    x0 = jnp.floor(x1)
+    y0 = jnp.floor(y1)
+    fx = (x1 - x0)[:, None, None, None]
+    fy = (y1 - y0)[:, None, None, None]
+    # Clip so the (crop+1)^2 slice stays inside the padded canvas; original
+    # coordinates outside the image read zeros from the padding.
+    ys = jnp.clip(y0.astype(jnp.int32) + pad_h, 0, H + pad_h)
+    xs = jnp.clip(x0.astype(jnp.int32) + pad_w, 0, W + pad_w)
+
+    def one(bi, yi, xi):
+        return lax.dynamic_slice(
+            padded[bi], (yi, xi, 0), (crop_h + 1, crop_w + 1, C)
+        )
+
+    patches = jax.vmap(one)(box_indices.astype(jnp.int32), ys, xs)
+    patches = patches.astype(jnp.float32)
+    top = patches[:, :-1, :-1] * (1 - fx) + patches[:, :-1, 1:] * fx
+    bot = patches[:, 1:, :-1] * (1 - fx) + patches[:, 1:, 1:] * fx
+    return top * (1 - fy) + bot * fy
 
 
 # --------------------------------------------------------------------------- #
