@@ -93,9 +93,9 @@ def build_predictor():
     )
     dtype = jnp.bfloat16
     return TopDownPredictor(
-        # Centroid stage at 0.5 input scale (the reference's standard top-down
+        # Centroid stage at 0.25 input scale (the reference's standard top-down
         # configuration for 1024px video).
-        centroid_model=make_trained(centroid_cfg, 128, dtype, input_scaling=0.5),
+        centroid_model=make_trained(centroid_cfg, 128, dtype, input_scaling=0.25),
         confmap_model=make_trained(instance_cfg, CROP, dtype),
         max_instances=MAX_INSTANCES,
         batch_size=BATCH,

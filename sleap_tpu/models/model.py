@@ -106,7 +106,13 @@ class PoseNet(nn.Module):
                         channels, dtype=self.compute_dtype, name=f"{name}{suffix}_out"
                     )(y)
                     y = apply_activation(y, activation)
-                results[f"{name}{suffix}"] = y.astype(jnp.float32)
+                # Heads emit f32 under the default f32 compute dtype (parity
+                # paths); with bf16 compute the outputs stay bf16 so the
+                # downstream peak ops run at half the HBM traffic.
+                out_dtype = (
+                    jnp.float32 if self.compute_dtype == jnp.float32 else self.compute_dtype
+                )
+                results[f"{name}{suffix}"] = y.astype(out_dtype)
         return results
 
 

@@ -266,7 +266,8 @@ def _extract_patches(
     y = jnp.clip(y, 0, cms_flat.shape[1] - 1)
 
     def one(mi, yi, xi):
-        return lax.dynamic_slice(padded[mi], (yi, xi), (crop_size, crop_size))
+        # 3D dynamic_slice: never materializes a per-peak copy of the map.
+        return lax.dynamic_slice(padded, (mi, yi, xi), (1, crop_size, crop_size))[0]
 
     patches = jax.vmap(one)(map_inds, y, x)
     return patches[..., None]
