@@ -47,3 +47,15 @@ def load_metrics(*args, **kwargs):
     from sleap_tpu.evals import load_metrics as _load_metrics
 
     return _load_metrics(*args, **kwargs)
+
+
+def use_cpu_only():
+    from sleap_tpu.system import use_cpu_only as _use_cpu_only
+
+    _use_cpu_only()
+
+
+def system_summary():
+    from sleap_tpu.system import summary
+
+    summary()

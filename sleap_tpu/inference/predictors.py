@@ -802,3 +802,80 @@ def load_model(
             max_tracks=tracker_max_instances,
         )
     return predictor
+
+
+@attr.s(auto_attribs=True)
+class VisualPredictor(Predictor):
+    """Predictor returning raw confidence maps / PAFs for overlay rendering.
+
+    Reference analog: inference.py:594 — used by GUI overlays to visualize
+    model outputs live.
+    """
+
+    model: Optional[TrainedModel] = None
+    batch_size: int = 4
+
+    _infer_fn: Any = attr.ib(default=None, init=False, repr=False)
+
+    @classmethod
+    def from_trained_models(cls, model_path: str, **kwargs) -> "VisualPredictor":
+        return cls(model=load_trained_model(model_path), **kwargs)
+
+    @property
+    def config(self):
+        return self.model.config
+
+    def head_specific_output_keys(self) -> list:
+        keys = []
+        head = self.config.model.heads.which_oneof_attrib_name
+        if head in ("single_instance", "centroid", "centered_instance"):
+            keys.append("confmaps")
+        elif head == "multi_instance":
+            keys.extend(["confmaps", "part_affinity_fields"])
+        elif head == "multi_class_bottomup":
+            keys.extend(["confmaps", "class_maps"])
+        return keys
+
+    def _build_infer_fn(self):
+        tm = self.model
+        pad = self.config.data.preprocessing.pad_to_stride or tm.model.maximum_stride
+        input_scale = tm.input_scale
+        name_map = {
+            "SingleInstanceConfmapsHead": "confmaps",
+            "CentroidConfmapsHead": "confmaps",
+            "CenteredInstanceConfmapsHead": "confmaps",
+            "MultiInstanceConfmapsHead": "confmaps",
+            "PartAffinityFieldsHead": "part_affinity_fields",
+            "ClassMapsHead": "class_maps",
+            "OffsetRefinementHead": "offsets",
+        }
+
+        @jax.jit
+        def infer(images):
+            imgs = _preprocess(images, tm.grayscale, input_scale, pad)
+            out = tm.module.apply(tm.variables, imgs, train=False)
+            renamed = {}
+            for key, val in out.items():
+                if "_stack" in key:
+                    continue
+                for head_name, friendly in name_map.items():
+                    if head_name in key:
+                        renamed[friendly] = val
+                        break
+            return renamed
+
+        return infer
+
+    def predict(self, data, make_labels: bool = False):
+        """Returns a list of dicts of raw output maps per batch."""
+        provider = self._make_provider(data)
+        if self._infer_fn is None:
+            self._infer_fn = self._build_infer_fn()
+        results = []
+        for batch, n_valid in batch_examples(provider, self.batch_size):
+            out = self._infer_fn(jnp.asarray(batch["image"]))
+            ex = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
+            ex["frame_ind"] = batch["frame_ind"][:n_valid]
+            ex["video_ind"] = batch["video_ind"][:n_valid]
+            results.append(ex)
+        return results

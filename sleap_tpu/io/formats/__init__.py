@@ -46,6 +46,10 @@ def read(filename: str, for_object: str = "labels", as_format: Optional[str] = N
         from sleap_tpu.io.formats import sleap_analysis
 
         return sleap_analysis.read_labels(filename, **kwargs)
+    if fmt in ("labels_json", "json"):
+        from sleap_tpu.io.formats import labels_json
+
+        return labels_json.read_labels(filename, **kwargs)
     if fmt == "nwb":
         raise NotImplementedError(
             "NWB import requires pynwb/ndx-pose, which are not available in "
@@ -85,6 +89,8 @@ def sniff_format(filename: str) -> str:
             return "coco"
         if '"class"' in head and '"annotations"' in head:
             return "alphatracker"
+        if '"labels"' in head or '"skeletons"' in head:
+            return "labels_json"
         return "genericjson"
     if low.endswith(".nwb"):
         return "nwb"

@@ -62,58 +62,78 @@ class PoseNet(nn.Module):
         )
         outputs, intermediates = backbone(x, train=train)
 
-        results: Dict[str, jnp.ndarray] = {}
-        for spec in self.head_specs:
-            (name, channels, activation, output_stride, kind,
-             num_fc_layers, num_fc_units, global_pool) = spec
-            for stack_i, (x_out, feats) in enumerate(zip(outputs, intermediates)):
-                if output_stride == self.backbone_output_stride:
-                    x_head_in = x_out
+        return apply_heads(
+            self, outputs, intermediates, self.head_specs,
+            self.backbone_output_stride, self.compute_dtype,
+        )
+
+
+class BackboneWithHeads(nn.Module):
+    """Arbitrary backbone module + stride-matched heads.
+
+    Same head-attachment contract as :class:`PoseNet` but for backbones that
+    are full flax modules (e.g. ResNet) rather than block-descriptor stacks.
+    """
+
+    backbone_module: nn.Module = None
+    backbone_output_stride: int = 1
+    head_specs: tuple = ()
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        outputs, intermediates = self.backbone_module(x, train=train)
+        return apply_heads(
+            self, outputs, intermediates, self.head_specs,
+            self.backbone_output_stride, self.compute_dtype,
+        )
+
+
+def apply_heads(scope, outputs, intermediates, head_specs, backbone_output_stride, compute_dtype):
+    """Attach 1x1-conv / FC heads at matching strides (reference model.py:312)."""
+    results: Dict[str, jnp.ndarray] = {}
+    for spec in head_specs:
+        (name, channels, activation, output_stride, kind,
+         num_fc_layers, num_fc_units, global_pool) = spec
+        for stack_i, (x_out, feats) in enumerate(zip(outputs, intermediates)):
+            if output_stride == backbone_output_stride:
+                x_head_in = x_out
+            else:
+                x_head_in = None
+                for feat in feats:
+                    if feat.stride == output_stride:
+                        x_head_in = feat.tensor
+                        break
+                if x_head_in is None:
+                    raise ValueError(
+                        f"No feature at stride {output_stride} for head {name}."
+                    )
+            suffix = "" if stack_i == len(outputs) - 1 else f"_stack{stack_i}"
+            if kind == "conv":
+                y = nn.Conv(
+                    features=channels, kernel_size=(1, 1), padding="SAME",
+                    dtype=compute_dtype, name=f"{name}{suffix}",
+                )(x_head_in)
+                y = apply_activation(y, activation)
+            else:
+                y = x_head_in
+                if global_pool:
+                    y = jnp.mean(y, axis=(1, 2))
                 else:
-                    x_head_in = None
-                    for feat in feats:
-                        if feat.stride == output_stride:
-                            x_head_in = feat.tensor
-                            break
-                    if x_head_in is None:
-                        raise ValueError(
-                            f"No feature at stride {output_stride} for head {name}."
-                        )
-                suffix = "" if stack_i == len(outputs) - 1 else f"_stack{stack_i}"
-                if kind == "conv":
-                    y = nn.Conv(
-                        features=channels,
-                        kernel_size=(1, 1),
-                        padding="SAME",
-                        dtype=self.compute_dtype,
-                        name=f"{name}{suffix}",
-                    )(x_head_in)
-                    y = apply_activation(y, activation)
-                else:  # class vectors: pool -> FC stack -> softmax
-                    y = x_head_in
-                    if global_pool:
-                        y = jnp.mean(y, axis=(1, 2))
-                    else:
-                        y = y.reshape(y.shape[0], -1)
-                    for fc_i in range(num_fc_layers):
-                        y = nn.Dense(
-                            num_fc_units,
-                            dtype=self.compute_dtype,
-                            name=f"{name}{suffix}_fc{fc_i}",
-                        )(y)
-                        y = jax.nn.relu(y)
+                    y = y.reshape(y.shape[0], -1)
+                for fc_i in range(num_fc_layers):
                     y = nn.Dense(
-                        channels, dtype=self.compute_dtype, name=f"{name}{suffix}_out"
+                        num_fc_units, dtype=compute_dtype,
+                        name=f"{name}{suffix}_fc{fc_i}",
                     )(y)
-                    y = apply_activation(y, activation)
-                # Heads emit f32 under the default f32 compute dtype (parity
-                # paths); with bf16 compute the outputs stay bf16 so the
-                # downstream peak ops run at half the HBM traffic.
-                out_dtype = (
-                    jnp.float32 if self.compute_dtype == jnp.float32 else self.compute_dtype
-                )
-                results[f"{name}{suffix}"] = y.astype(out_dtype)
-        return results
+                    y = jax.nn.relu(y)
+                y = nn.Dense(channels, dtype=compute_dtype, name=f"{name}{suffix}_out")(y)
+                y = apply_activation(y, activation)
+            out_dtype = (
+                jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+            )
+            results[f"{name}{suffix}"] = y.astype(out_dtype)
+    return results
 
 
 @attr.s(auto_attribs=True)
@@ -152,6 +172,10 @@ class Model:
             backbone = LeapCNN.from_config(backbone_config)
         elif isinstance(backbone_config, cfg.HourglassConfig):
             backbone = Hourglass.from_config(backbone_config)
+        elif isinstance(backbone_config, cfg.ResNetConfig):
+            from sleap_tpu.models.resnet import ResNet
+
+            backbone = ResNet.from_config(backbone_config)
         elif backbone_config is None:
             raise ValueError("Backbone architecture was not specified.")
         else:
@@ -282,6 +306,8 @@ class Model:
             )
             for h in self.heads
         )
+        if hasattr(self.backbone, "make_module"):
+            return self.backbone.make_module(head_specs, compute_dtype=compute_dtype)
         return PoseNet(
             stem_blocks=self.backbone.make_stem_blocks(),
             encoder_blocks=self.backbone.make_encoder_blocks(),
