@@ -337,6 +337,15 @@ def find_global_peaks(
         peak_points: (samples, channels, 2) xy (NaN below threshold).
         peak_vals: (samples, channels).
     """
+    if refinement == "integral" and jax.default_backend() == "tpu":
+        # Fused single-pass Pallas kernel (see ops/pallas_peaks.py): ~1.5x
+        # faster than the XLA decomposition on TPU, numerically equivalent.
+        from sleap_tpu.ops.pallas_peaks import find_global_peaks_integral_pallas
+
+        return find_global_peaks_integral_pallas(
+            cms, threshold=threshold, integral_patch_size=integral_patch_size
+        )
+
     rough_peaks, peak_vals = find_global_peaks_rough(cms, threshold=threshold)
     if refinement is None:
         return rough_peaks, peak_vals
