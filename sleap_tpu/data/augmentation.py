@@ -149,6 +149,17 @@ def augment_example(
         image = jnp.where(do_flip, flipped_img, image)
         instances = jnp.where(do_flip, flipped_pts, instances)
 
+    if config.random_crop:
+        ch, cw = int(config.random_crop_height), int(config.random_crop_width)
+        if ch < H or cw < W:
+            oy = jax.random.randint(keys[8], (), 0, max(H - ch, 1))
+            ox = jax.random.randint(keys[9], (), 0, max(W - cw, 1))
+            image = jax.lax.dynamic_slice(
+                image, (oy, ox, 0), (min(ch, H), min(cw, W), image.shape[2])
+            )
+            offset = jnp.stack([ox, oy]).astype(instances.dtype)
+            instances = instances - offset
+
     if config.uniform_noise:
         # Reference albumentations operates on 0-255; scale to [0, 1] range.
         noise = jax.random.uniform(

@@ -51,3 +51,34 @@ def ensure_min_image_rank(image: jnp.ndarray) -> jnp.ndarray:
 def scale_image_range(image: jnp.ndarray, min_val: float, max_val: float) -> jnp.ndarray:
     """Rescale a [0, 1] image to [min_val, max_val] (imagenet-style modes)."""
     return image * (max_val - min_val) + min_val
+
+
+# ImageNet statistics (reference normalization.py imagenet modes).
+_IMAGENET_MEAN_RGB = jnp.array([0.485, 0.456, 0.406], dtype=jnp.float32)
+_IMAGENET_STD_RGB = jnp.array([0.229, 0.224, 0.225], dtype=jnp.float32)
+
+
+def scale_to_imagenet_torch_mode(image: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float RGB -> torch-style standardized (reference "torch" mode)."""
+    return (image - _IMAGENET_MEAN_RGB) / _IMAGENET_STD_RGB
+
+
+def scale_to_imagenet_caffe_mode(image: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float RGB -> caffe-style BGR mean-subtracted 0-255."""
+    bgr = image[..., ::-1] * 255.0
+    return bgr - jnp.array([103.939, 116.779, 123.68], dtype=jnp.float32)
+
+
+def scale_to_imagenet_tf_mode(image: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float -> [-1, 1] (reference "tf" mode)."""
+    return image * 2.0 - 1.0
+
+
+def apply_imagenet_mode(image: jnp.ndarray, mode: str) -> jnp.ndarray:
+    if mode == "tf":
+        return scale_to_imagenet_tf_mode(image)
+    if mode == "caffe":
+        return scale_to_imagenet_caffe_mode(image)
+    if mode == "torch":
+        return scale_to_imagenet_torch_mode(image)
+    raise ValueError(f"Unknown imagenet mode: {mode!r}")

@@ -141,13 +141,36 @@ class VideoReader:
             }
 
 
+def resize_and_pad_example(
+    image: np.ndarray, target_hw: Tuple[int, int]
+) -> Tuple[np.ndarray, float]:
+    """Host-side SizeMatcher (reference resizing.py:257): scale to fit the
+    target, pad bottom/right; returns (image, scale)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    th, tw = target_hw
+    if (h, w) == (th, tw):
+        return image, 1.0
+    scale = min(th / h, tw / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(image, (nw, nh))
+    if resized.ndim == 2:
+        resized = resized[..., None]
+    out = np.zeros((th, tw, image.shape[2]), dtype=image.dtype)
+    out[:nh, :nw] = resized
+    return out, scale
+
+
 def batch_examples(
-    provider, batch_size: int
+    provider, batch_size: int, target_hw: Optional[Tuple[int, int]] = None
 ) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
     """Group provider examples into fixed-size batches.
 
     The last batch is padded by repeating its final example so on-device
-    shapes stay static; yields ``(batch_dict, n_valid)``.
+    shapes stay static; yields ``(batch_dict, n_valid)``. With ``target_hw``,
+    frames are size-matched on host and a per-example ``scale`` is carried
+    for inverse coordinate mapping.
     """
     buf: List[Dict[str, Any]] = []
 
@@ -159,13 +182,30 @@ def batch_examples(
             "image": np.stack([ex["image"] for ex in buf], axis=0),
             "video_ind": np.array([ex["video_ind"] for ex in buf]),
             "frame_ind": np.array([ex["frame_ind"] for ex in buf]),
+            "scale": np.array([ex.get("scale", 1.0) for ex in buf], "f4"),
         }
         return batch, n_valid
 
     for ex in provider:
+        if target_hw is not None:
+            img, scale = resize_and_pad_example(ex["image"], target_hw)
+            ex = dict(ex)
+            ex["image"] = img
+            ex["scale"] = scale
         buf.append(ex)
         if len(buf) == batch_size:
             yield emit(buf)
             buf = []
     if buf:
         yield emit(buf)
+
+
+def provider_needs_size_matching(provider) -> Optional[Tuple[int, int]]:
+    """Target (h, w) when the provider's videos differ in size, else None."""
+    videos = provider.videos
+    if len(videos) <= 1:
+        return None
+    sizes = {(v.height, v.width) for v in videos}
+    if len(sizes) <= 1:
+        return None
+    return provider.max_height_and_width

@@ -36,7 +36,12 @@ from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
 from sleap_tpu.core.labels import Labels
 from sleap_tpu.core.skeleton import Skeleton
 from sleap_tpu.data.normalization import ensure_float, ensure_grayscale, ensure_rgb
-from sleap_tpu.data.providers import LabelsReader, VideoReader, batch_examples
+from sleap_tpu.data.providers import (
+    LabelsReader,
+    VideoReader,
+    batch_examples,
+    provider_needs_size_matching,
+)
 from sleap_tpu.data.resizing import pad_to_stride, resize_image
 from sleap_tpu.io.video import Video
 from sleap_tpu.models.model import Model, find_head
@@ -147,10 +152,15 @@ def _preprocess(
     input_scale: float,
     pad_stride: int,
     resize_img: bool = True,
+    imagenet_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """On-chip preprocessing (reference InferenceLayer.preprocess, :940-967)."""
     imgs = ensure_grayscale(imgs) if grayscale else ensure_rgb(imgs)
     imgs = ensure_float(imgs)
+    if imagenet_mode:
+        from sleap_tpu.data.normalization import apply_imagenet_mode
+
+        imgs = apply_imagenet_mode(imgs, imagenet_mode)
     if resize_img and input_scale != 1.0:
         imgs = resize_image(imgs, input_scale)
     if pad_stride and pad_stride > 1:
@@ -401,9 +411,14 @@ class SingleInstancePredictor(Predictor):
         total = len(provider)
         done = 0
         t0 = time.time()
-        for batch, n_valid in batch_examples(provider, self.batch_size):
+        target_hw = provider_needs_size_matching(provider)
+        for batch, n_valid in batch_examples(provider, self.batch_size, target_hw):
             out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v) for k, v in out.items()}
+            # Undo host-side size matching (reference inference.py:411-417).
+            ex["instance_peaks"] = ex["instance_peaks"] / batch["scale"].reshape(
+                -1, *([1] * (ex["instance_peaks"].ndim - 1))
+            )
             ex.update(
                 image=batch["image"],
                 video_ind=batch["video_ind"],
@@ -706,10 +721,11 @@ class TopDownPredictor(Predictor):
         done = 0
         t0 = time.time()
         gt_mode = self.centroid_model is None
+        target_hw = None if gt_mode else provider_needs_size_matching(provider)
         batches = (
             self._gt_centroid_batches(provider)
             if gt_mode
-            else batch_examples(provider, self.batch_size)
+            else batch_examples(provider, self.batch_size, target_hw)
         )
         for batch, n_valid in batches:
             if gt_mode:
@@ -721,6 +737,10 @@ class TopDownPredictor(Predictor):
             else:
                 out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v) for k, v in out.items()}
+            if "scale" in batch:
+                s = batch["scale"]
+                ex["instance_peaks"] = ex["instance_peaks"] / s.reshape(-1, 1, 1, 1)
+                ex["centroids"] = ex["centroids"] / s.reshape(-1, 1, 1)
             ex.update(
                 image=batch["image"],
                 video_ind=batch["video_ind"],

@@ -432,7 +432,8 @@ class Trainer:
         if self.module is None:
             self.setup()
         opt_cfg = self.config.optimization
-        optimizer = optax.inject_hyperparams(optax.adam)(
+        opt_fn = optax.amsgrad if opt_cfg.optimizer == "amsgrad" else optax.adam
+        optimizer = optax.inject_hyperparams(opt_fn)(
             learning_rate=opt_cfg.initial_learning_rate
         )
         params = self.variables["params"]
@@ -577,7 +578,12 @@ class Trainer:
         pp = self.config.data.preprocessing
         grayscale = self._input_channels == 1
         imgs = ensure_grayscale(images) if grayscale else ensure_rgb(images)
-        return ensure_float(imgs)
+        imgs = ensure_float(imgs)
+        if pp.imagenet_mode:
+            from sleap_tpu.data.normalization import apply_imagenet_mode
+
+            imgs = apply_imagenet_mode(imgs, pp.imagenet_mode)
+        return imgs
 
     def _resize_pad(self, imgs):
         pp = self.config.data.preprocessing

@@ -1,0 +1,137 @@
+"""Training smoke tests: 2 quick epochs per head type on synthetic data.
+
+Mirrors the reference's test_training.py strategy (1-epoch trainings per
+head type on minimal labels, SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+from sleap_tpu import config as cfg
+from sleap_tpu.core.instance import Instance, LabeledFrame, Track
+from sleap_tpu.core.labels import Labels
+from sleap_tpu.core.skeleton import Skeleton
+from sleap_tpu.io.video import Video
+from sleap_tpu.training.trainer import DataReaders, Trainer
+
+
+@pytest.fixture
+def tiny_labels():
+    rng = np.random.default_rng(0)
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    frames = rng.integers(0, 255, (6, 64, 64, 1), np.uint8)
+    video = Video.from_numpy(frames)
+    track_a, track_b = Track(0, "A"), Track(0, "B")
+    lfs = []
+    for i in range(6):
+        pts1 = rng.uniform(10, 30, (2, 2))
+        pts2 = rng.uniform(34, 54, (2, 2))
+        lfs.append(
+            LabeledFrame(
+                video=video, frame_idx=i,
+                instances=[
+                    Instance(skeleton=skel, points=pts1, track=track_a),
+                    Instance(skeleton=skel, points=pts2, track=track_b),
+                ],
+            )
+        )
+    return Labels(lfs)
+
+
+def _base_cfg(tmp_path, name):
+    c = cfg.TrainingJobConfig()
+    c.model.backbone.unet = cfg.UNetConfig(max_stride=4, output_stride=2, filters=4, filters_rate=1.5)
+    c.optimization.epochs = 2
+    c.optimization.batch_size = 2
+    c.optimization.batches_per_epoch = 2
+    c.optimization.val_batches_per_epoch = 1
+    c.optimization.initial_learning_rate = 1e-3
+    c.data.preprocessing.pad_to_stride = 4
+    c.outputs.runs_folder = str(tmp_path)
+    c.outputs.run_name = name
+    return c
+
+
+def _run(config, labels):
+    trainer = Trainer.from_config(config, training_labels=labels, validation_labels=labels)
+    trainer.evaluate = lambda: None  # skip slow predictor eval in smoke tests
+    trainer.train()
+    import os
+
+    assert os.path.isdir(os.path.join(trainer.run_path, "best_model.ckpt"))
+    assert os.path.exists(os.path.join(trainer.run_path, "training_config.json"))
+    assert os.path.exists(os.path.join(trainer.run_path, "training_log.csv"))
+    return trainer
+
+
+@pytest.mark.slow
+def test_train_single_instance(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "single")
+    c.model.heads.single_instance = cfg.SingleInstanceConfmapsHeadConfig(
+        output_stride=2, sigma=3.0
+    )
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_centroid(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "centroid")
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=2, sigma=3.0, offset_refinement=True)
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_centered_instance(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "topdown")
+    c.model.heads.centered_instance = cfg.CenteredInstanceConfmapsHeadConfig(
+        output_stride=2, sigma=3.0
+    )
+    c.data.instance_cropping.crop_size = 32
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_bottomup(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "bottomup")
+    c.model.heads.multi_instance = cfg.MultiInstanceConfig(
+        confmaps=cfg.MultiInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0),
+        pafs=cfg.PartAffinityFieldsHeadConfig(output_stride=2, sigma=3.0),
+    )
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_bottomup_multiclass(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "bu_multiclass")
+    c.model.heads.multi_class_bottomup = cfg.MultiClassBottomUpConfig(
+        confmaps=cfg.MultiInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0),
+        class_maps=cfg.ClassMapsHeadConfig(output_stride=2, sigma=3.0),
+    )
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_topdown_multiclass(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "td_multiclass")
+    c.model.heads.multi_class_topdown = cfg.MultiClassTopDownConfig(
+        confmaps=cfg.CenteredInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0),
+        class_vectors=cfg.ClassVectorsHeadConfig(output_stride=4, num_fc_layers=1),
+    )
+    c.data.instance_cropping.crop_size = 32
+    _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_with_augmentation_and_ohkm(tiny_labels, tmp_path):
+    c = _base_cfg(tmp_path, "augmented")
+    c.model.heads.single_instance = cfg.SingleInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0)
+    aug = c.optimization.augmentation_config
+    aug.rotate = True
+    aug.scale = True
+    aug.uniform_noise = True
+    aug.contrast = True
+    aug.brightness = True
+    aug.random_flip = True
+    c.optimization.hard_keypoint_mining.online_mining = True
+    c.optimization.optimizer = "amsgrad"
+    _run(c, tiny_labels)
