@@ -554,3 +554,30 @@ class _JsonpickleEncoder:
 
 
 _EDGE_TYPE_SINGLETONS: Dict[int, object] = {}
+
+
+def load_template(name: str) -> Skeleton:
+    """Load a shipped template skeleton (e.g. "flies13", "mice_hc").
+
+    Reference ships the same templates as data in ``sleap/skeletons/*.json``.
+    """
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "skeletons",
+        f"{name}.json",
+    )
+    if not os.path.exists(path):
+        available = [
+            f[:-5]
+            for f in os.listdir(os.path.dirname(path))
+            if f.endswith(".json")
+        ]
+        raise FileNotFoundError(
+            f"No template skeleton {name!r}; available: {sorted(available)}"
+        )
+    data = json.load(open(path))
+    skel = Skeleton.from_dict(data["nx_graph"])
+    skel.name = name
+    return skel
