@@ -19,6 +19,7 @@ import numpy as np
 
 from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
 from sleap_tpu.data.providers import batch_examples
+from sleap_tpu.data.prefetch import prefetch
 from sleap_tpu.inference.predictors import (
     Predictor,
     TrainedModel,
@@ -129,7 +130,7 @@ class BottomUpPredictor(Predictor):
         total = len(provider)
         done = 0
         t0 = time.time()
-        for batch, n_valid in batch_examples(provider, self.batch_size):
+        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
             out = self._infer_fn(jnp.asarray(batch["image"]))
             out = {k: np.asarray(v) for k, v in out.items()}
             # Host: greedy assembly per sample.

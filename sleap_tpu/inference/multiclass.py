@@ -20,6 +20,7 @@ import numpy as np
 
 from sleap_tpu.core.instance import LabeledFrame, PredictedInstance, Track
 from sleap_tpu.data.providers import batch_examples
+from sleap_tpu.data.prefetch import prefetch
 from sleap_tpu.data.resizing import resize_image
 from sleap_tpu.data.normalization import ensure_float
 from sleap_tpu.inference.predictors import (
@@ -156,7 +157,7 @@ class BottomUpMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         total, done, t0 = len(provider), 0, time.time()
-        for batch, n_valid in batch_examples(provider, self.batch_size):
+        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
             out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v) for k, v in out.items()}
             ex.update(
@@ -374,7 +375,7 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             if gt_mode
             else batch_examples(provider, self.batch_size)
         )
-        for batch, n_valid in batches:
+        for batch, n_valid in prefetch(batches):
             if gt_mode:
                 out = self._infer_fn(
                     jnp.asarray(batch["image"]),

@@ -42,6 +42,7 @@ from sleap_tpu.data.providers import (
     batch_examples,
     provider_needs_size_matching,
 )
+from sleap_tpu.data.prefetch import prefetch
 from sleap_tpu.data.resizing import pad_to_stride, resize_image
 from sleap_tpu.io.video import Video
 from sleap_tpu.models.model import Model, find_head
@@ -412,7 +413,7 @@ class SingleInstancePredictor(Predictor):
         done = 0
         t0 = time.time()
         target_hw = provider_needs_size_matching(provider)
-        for batch, n_valid in batch_examples(provider, self.batch_size, target_hw):
+        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size, target_hw)):
             out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v) for k, v in out.items()}
             # Undo host-side size matching (reference inference.py:411-417).
@@ -727,7 +728,7 @@ class TopDownPredictor(Predictor):
             if gt_mode
             else batch_examples(provider, self.batch_size, target_hw)
         )
-        for batch, n_valid in batches:
+        for batch, n_valid in prefetch(batches):
             if gt_mode:
                 out = self._infer_fn(
                     jnp.asarray(batch["image"]),
@@ -892,7 +893,7 @@ class VisualPredictor(Predictor):
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         results = []
-        for batch, n_valid in batch_examples(provider, self.batch_size):
+        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
             out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
             ex["frame_ind"] = batch["frame_ind"][:n_valid]
