@@ -435,3 +435,22 @@ class Labels(MutableSequence):
 def load_file(filename: str, **kwargs) -> Labels:
     """Module-level loader mirroring ``sleap.load_file``."""
     return Labels.load_file(filename, **kwargs)
+
+
+def _labels_export_csv(self, filename: str) -> None:
+    """Export tracked poses as an analysis CSV (reference dataset.py:2071)."""
+    from sleap_tpu.info.write_tracking_h5 import export_analysis_file
+
+    export_analysis_file(self, filename, csv=True)
+
+
+def _labels_export_nwb(self, filename: str, **kwargs) -> None:
+    """NWB export requires pynwb/ndx-pose (not available offline)."""
+    raise NotImplementedError(
+        "NWB export requires pynwb and ndx-pose, which are not installed in "
+        "this environment. Use export(.analysis.h5/.csv) or .slp instead."
+    )
+
+
+Labels.export_csv = _labels_export_csv
+Labels.export_nwb = _labels_export_nwb

@@ -613,3 +613,37 @@ def retrack(labels, tracker: Tracker):
     )
     labels.update_cache()
     return labels
+
+
+def main(args=None) -> None:
+    """CLI: re-track saved predictions (reference ``python -m sleap.nn.tracking``)."""
+    import argparse
+
+    from sleap_tpu.core.labels import Labels
+
+    parser = argparse.ArgumentParser(description="Run tracking on predictions.")
+    parser.add_argument("data_path", help="Path to predictions (.slp).")
+    parser.add_argument("-o", "--output", default=None)
+    parser.add_argument("--tracking.tracker", dest="tracker", default="flow")
+    parser.add_argument("--tracking.similarity", dest="similarity", default="instance")
+    parser.add_argument("--tracking.match", dest="match", default="greedy")
+    parser.add_argument("--tracking.track_window", dest="track_window", type=int, default=5)
+    parser.add_argument("--tracking.max_tracks", dest="max_tracks", type=int, default=None)
+    ns = parser.parse_args(args)
+
+    labels = Labels.load_file(ns.data_path)
+    tracker = Tracker.make_tracker_by_name(
+        tracker=ns.tracker,
+        similarity=ns.similarity,
+        match=ns.match,
+        track_window=ns.track_window,
+        max_tracks=ns.max_tracks,
+    )
+    retrack(labels, tracker)
+    out = ns.output or (ns.data_path + ".retracked.slp")
+    labels.save(out)
+    print(f"Saved: {out}")
+
+
+if __name__ == "__main__":
+    main()
