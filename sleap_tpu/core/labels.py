@@ -309,12 +309,17 @@ class Labels(MutableSequence):
     # Splitting / extraction
     # ------------------------------------------------------------------ #
     def extract(self, inds: Iterable[int], copy: bool = False) -> "Labels":
-        """New Labels with the selected frames (shared objects unless copy)."""
+        """New Labels with the selected frames (shared objects unless copy).
+
+        Videos are always shared (they hold live decoder resources — locks,
+        file handles — that must not be duplicated).
+        """
         lfs = [self.labeled_frames[int(i)] for i in inds]
         if copy:
             import copy as _copy
 
-            lfs = _copy.deepcopy(lfs)
+            memo = {id(v): v for v in self.videos}
+            lfs = _copy.deepcopy(lfs, memo)
         return Labels(
             labeled_frames=lfs,
             provenance=dict(self.provenance),
@@ -454,3 +459,41 @@ def _labels_export_nwb(self, filename: str, **kwargs) -> None:
 
 Labels.export_csv = _labels_export_csv
 Labels.export_nwb = _labels_export_nwb
+
+
+def _labels_merge(self, other: "Labels") -> None:
+    """Merge another Labels into this one (frame-level union).
+
+    Frames at the same (video, frame index) combine their instance lists;
+    other frames are appended. Matching is by video filename. (The
+    reference's interactive three-way conflict resolution lives in its GUI;
+    this is the programmatic merge, reference dataset.py:1767.)
+    """
+    video_map = {}
+    for v_other in other.videos:
+        for v_self in self.videos:
+            if v_self.filename and v_self.filename == v_other.filename:
+                video_map[id(v_other)] = v_self
+                break
+    for lf in other.labeled_frames:
+        video = video_map.get(id(lf.video), lf.video)
+        existing = self.find_first(video, lf.frame_idx)
+        if existing is None:
+            new_lf = LabeledFrame(video=video, frame_idx=lf.frame_idx)
+            for inst in lf.instances:
+                new_lf.insert_instance(inst)
+            self.append(new_lf)
+        else:
+            existing_pts = [i.numpy() for i in existing.instances]
+            for inst in lf.instances:
+                dup = any(
+                    e.shape == inst.numpy().shape
+                    and np.allclose(e, inst.numpy(), equal_nan=True)
+                    for e in existing_pts
+                )
+                if not dup:
+                    existing.insert_instance(inst)
+    self.update_cache()
+
+
+Labels.merge = _labels_merge
