@@ -35,36 +35,36 @@ _BLOCK_MAPS = 8  # maps per grid program (second-to-last block dims need >= 8)
 
 
 def _peak_kernel(cms_ref, xy_ref, val_ref, *, threshold: float, half: int):
-    # One confidence map per program; scalar results go to SMEM (the
-    # documented Mosaic pattern for full reductions).
-    cm = cms_ref[0].astype(jnp.float32)  # (H, W)
-    H, W = cm.shape
+    # _BLOCK_MAPS maps per program (statically unrolled) to amortize grid
+    # overhead; each map's math stays rank-2 (Mosaic cannot flatten (B, H, W)
+    # or relayout tiny squeezed shapes). Argmax is computed as "min linear
+    # index where value == max" (first-occurrence ties, same as jnp.argmax);
+    # scalar results go to SMEM (the documented Mosaic pattern).
+    H, W = cms_ref.shape[1], cms_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    for k in range(cms_ref.shape[0]):
+        cm = cms_ref[k].astype(jnp.float32)  # (H, W)
+        peak_val = jnp.max(cm)
+        lin = rows * W + cols
+        m = jnp.min(jnp.where(cm == peak_val, lin, H * W))
+        iy = m // W
+        ix = m % W
 
-    peak_val = jnp.max(cm)
-    # Argmax as "min linear index where value == max" (Mosaic cannot flatten
-    # (H, W) vectors for a flat argmax); ties resolve to the first occurrence
-    # in row-major order, same as jnp.argmax.
-    lin = rows * W + cols
-    m = jnp.min(jnp.where(cm == peak_val, lin, H * W))
-    iy = m // W
-    ix = m % W
+        # Integral refinement over the (2*half+1)^2 window (masked at
+        # borders - equivalent to the zero-padded patch of the XLA path).
+        in_window = (jnp.abs(rows - iy) <= half) & (jnp.abs(cols - ix) <= half)
+        w = jnp.where(in_window, cm, 0.0)
+        z = jnp.sum(w)
+        dx = jnp.sum(w * (cols - ix).astype(jnp.float32)) / z
+        dy = jnp.sum(w * (rows - iy).astype(jnp.float32)) / z
 
-    # Integral refinement over the (2*half+1)^2 window (masked at borders -
-    # equivalent to the zero-padded patch of the XLA path).
-    in_window = (jnp.abs(rows - iy) <= half) & (jnp.abs(cols - ix) <= half)
-    w = jnp.where(in_window, cm, 0.0)
-    z = jnp.sum(w)
-    dx = jnp.sum(w * (cols - ix).astype(jnp.float32)) / z
-    dy = jnp.sum(w * (rows - iy).astype(jnp.float32)) / z
-
-    x = ix.astype(jnp.float32) + dx
-    y = iy.astype(jnp.float32) + dy
-    below = peak_val < threshold
-    xy_ref[0, 0, 0] = jnp.where(below, jnp.nan, x)
-    xy_ref[0, 1, 0] = jnp.where(below, jnp.nan, y)
-    val_ref[0, 0, 0] = peak_val
+        x = ix.astype(jnp.float32) + dx
+        y = iy.astype(jnp.float32) + dy
+        below = peak_val < threshold
+        xy_ref[k, 0, 0] = jnp.where(below, jnp.nan, x)
+        xy_ref[k, 1, 0] = jnp.where(below, jnp.nan, y)
+        val_ref[k, 0, 0] = peak_val
 
 
 @functools.partial(
@@ -102,13 +102,13 @@ def find_global_peaks_integral_pallas(
     smem = pltpu.SMEM if (_HAS_PLTPU and not interpret) else None
     xy, vals = pl.pallas_call(
         kernel,
-        grid=(total,),
+        grid=(total // _BLOCK_MAPS,),
         in_specs=[
-            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=vmem)
+            pl.BlockSpec((_BLOCK_MAPS, H, W), lambda i: (i, 0, 0), memory_space=vmem)
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, 1), lambda i: (i, 0, 0), memory_space=smem),
-            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=smem),
+            pl.BlockSpec((_BLOCK_MAPS, 2, 1), lambda i: (i, 0, 0), memory_space=smem),
+            pl.BlockSpec((_BLOCK_MAPS, 1, 1), lambda i: (i, 0, 0), memory_space=smem),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((total, 2, 1), jnp.float32),
