@@ -19,10 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from sleap_tpu.core.instance import LabeledFrame, PredictedInstance, Track
+from sleap_tpu.data.normalization import ensure_float
 from sleap_tpu.data.providers import batch_examples
 from sleap_tpu.data.prefetch import prefetch
 from sleap_tpu.data.resizing import resize_image
-from sleap_tpu.data.normalization import ensure_float
 from sleap_tpu.inference.predictors import (
     Predictor,
     TrainedModel,
@@ -34,13 +34,11 @@ from sleap_tpu.inference.predictors import (
 from sleap_tpu.models.model import find_head
 from sleap_tpu.ops.identity import classify_peaks_from_maps, classify_peaks_from_vectors
 from sleap_tpu.ops.peak_finding import (
-    crop_and_resize,
     crop_bboxes_unit,
     find_global_peaks,
     find_global_peaks_with_offsets,
     find_local_peaks,
     find_local_peaks_with_offsets,
-    make_centered_bboxes,
 )
 
 

@@ -18,7 +18,6 @@ Rebuild of ``/root/reference/sleap/nn/inference.py`` predictor classes
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -30,11 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import sleap_tpu.config as cfg_mod
 from sleap_tpu.config import TrainingJobConfig
 from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
 from sleap_tpu.core.labels import Labels
-from sleap_tpu.core.skeleton import Skeleton
 from sleap_tpu.data.normalization import ensure_float, ensure_grayscale, ensure_rgb
 from sleap_tpu.data.providers import (
     LabelsReader,
@@ -47,13 +44,11 @@ from sleap_tpu.data.resizing import pad_to_stride, resize_image
 from sleap_tpu.io.video import Video
 from sleap_tpu.models.model import Model, find_head
 from sleap_tpu.ops.peak_finding import (
-    crop_and_resize,
     crop_bboxes_unit,
     find_global_peaks,
     find_global_peaks_with_offsets,
     find_local_peaks,
     find_local_peaks_with_offsets,
-    make_centered_bboxes,
 )
 
 
