@@ -10,6 +10,10 @@ integral refinement -> bilinear crops -> centered-instance UNet -> global
 peaks + offset adjustment. Weights are synthetic (throughput is
 weight-independent); compute dtype is bfloat16 (MXU-native).
 
+Workload: 13-node skeleton (flies13-like), up to 4 instances per frame
+(the reference's headline figure is on 2-fly video), 160px crops, centroid
+stage at 0.25 scale — the reference's standard fast top-down configuration.
+
 Measurement methodology: synthetic frames are generated ON DEVICE (no
 host->HBM transfer in the timed region) and N iterations are chained inside
 one jitted lax.fori_loop with a data dependency between iterations, so the
@@ -35,7 +39,7 @@ jax.config.update(
 BATCH = 8
 IMG = 1024
 CROP = 160
-MAX_INSTANCES = 8
+MAX_INSTANCES = 4
 N_ITERS = 30
 BASELINE_FPS = 600.0
 
