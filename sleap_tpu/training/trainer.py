@@ -332,6 +332,53 @@ class Trainer:
         os.makedirs(self.run_path, exist_ok=True)
         self.config.save_json(os.path.join(self.run_path, "initial_config.json"))
 
+    def _setup_tensorboard(self):
+        tb = self.config.outputs.tensorboard
+        if not (tb.write_logs and self.run_path):
+            return None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            return SummaryWriter(log_dir=self.run_path)
+        except ImportError:
+            logger.warning("TensorBoard logging requested but unavailable.")
+            return None
+
+    def _save_visualization(self, epoch: int, batch, gt_fn, params, batch_stats) -> None:
+        """Save a confmap-overlay PNG for one validation example
+        (reference MatplotlibSaver, callbacks.py:243)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            import jax.numpy as jnp
+
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            imgs, gt = gt_fn(
+                {k: jnp.asarray(v) for k, v in batch.items()}, jax.random.PRNGKey(0)
+            )
+            preds = self.module.apply(variables, imgs, train=False)
+            key = next(k for k in preds if "Confmaps" in k and "_stack" not in k)
+            img = np.asarray(imgs[0])
+            cms = np.asarray(preds[key][0], dtype="f4")
+            fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+            axes[0].imshow(img.squeeze(), cmap="gray")
+            axes[0].set_title("input")
+            axes[1].imshow(cms.max(axis=-1))
+            axes[1].set_title(f"predicted {key}")
+            for ax in axes:
+                ax.set_axis_off()
+            viz_dir = os.path.join(self.run_path, "viz")
+            os.makedirs(viz_dir, exist_ok=True)
+            fig.savefig(os.path.join(viz_dir, f"epoch_{epoch:03d}.png"), dpi=72)
+            plt.close(fig)
+        except Exception as e:  # viz must never break training
+            logger.debug("Visualization failed: %s", e)
+
     def _setup_zmq(self) -> None:
         zmq_cfg = self.config.outputs.zmq
         if zmq_cfg.publish_updates:
@@ -458,6 +505,13 @@ class Trainer:
         rng = np.random.default_rng(0)
         jrng = jax.random.PRNGKey(42)
 
+        tb_writer = self._setup_tensorboard()
+        save_viz = (
+            self.config.outputs.save_visualizations
+            and self.config.outputs.save_outputs
+            and self.run_path
+        )
+        viz_gt_fn = self.build_gt_fn() if save_viz else None
         log_rows = []
         best_val = np.inf
         t_train = time.time()
@@ -507,6 +561,15 @@ class Trainer:
             log_rows.append(
                 {"epoch": epoch, "loss": train_loss, "val_loss": val_loss, "lr": lr}
             )
+            if tb_writer is not None:
+                tb_writer.add_scalar("loss", train_loss, epoch)
+                tb_writer.add_scalar("val_loss", val_loss, epoch)
+                tb_writer.add_scalar("lr", lr, epoch)
+            if save_viz:
+                viz_batch = self.make_batch(
+                    [self._val_examples[0]] * batch_size, rng
+                )
+                self._save_visualization(epoch, viz_batch, viz_gt_fn, params, batch_stats)
             logger.info(
                 "Epoch %d/%d - loss: %.6f - val_loss: %.6f (%.1fs)",
                 epoch + 1, opt_cfg.epochs, train_loss, val_loss, time.time() - t0,
@@ -536,6 +599,16 @@ class Trainer:
                     writer.writerows(log_rows)
             self._save_gt_labels()
             self.evaluate()
+        if tb_writer is not None:
+            tb_writer.close()
+        if (
+            self.run_path
+            and save_viz
+            and not self.config.outputs.keep_viz_images
+        ):
+            import shutil
+
+            shutil.rmtree(os.path.join(self.run_path, "viz"), ignore_errors=True)
         if self._zmq_reporter:
             self._zmq_reporter.close()
 
