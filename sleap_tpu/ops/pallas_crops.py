@@ -1,14 +1,21 @@
-"""EXPERIMENTAL Pallas crop kernel (not yet compilable on current Mosaic).
+"""EXPERIMENTAL Pallas crop kernel (correct in interpret mode; TPU lowering
+still blocked).
 
-Goal: replace the vmapped ``dynamic_slice`` crops (which serialize at ~30us
-per box on TPU) with per-program async DMA + fractional blend. Blocked on
-Mosaic tiling constraints: both DMA starts and vector slices along the
-sublane (W) dimension must be 8-aligned, and the residual [0, 8) offset
-cannot be applied with a dynamic in-VMEM slice. Candidate fixes for a later
-round: 8-way lax.switch over precomputed aligned variants, or an 8-wide
-over-fetch with a masked lane-rotation. The interpret-mode path below is
-correct and tested; production code uses
-:func:`sleap_tpu.ops.peak_finding.crop_bboxes_unit`.
+Goal: replace the vmapped ``dynamic_slice`` crops (which serialize on TPU)
+with per-program async DMA + fractional blend. Findings so far (kept for the
+next attempt):
+
+- DMA starts/sizes along the sublane (W) dim must be 8-aligned; handled by
+  rounding starts down and an 8-way ``lax.switch`` over static slices for
+  the residual (static unaligned sublane slices ARE supported; dynamic are
+  not).
+- Remaining blocker: with channels-last rank-4 canvases the LANE dim is
+  C (=1 for grayscale), and Mosaic rejects DMA slices whose lane dim is
+  neither 128-aligned nor... even the full size-1 dim. A working design
+  probably needs the canvas flattened to (B, H, W) with W as lanes, full-row
+  DMAs, and a masked lane *rotation* for the [0, 128) residual offset.
+
+Production code uses :func:`sleap_tpu.ops.peak_finding.crop_bboxes_unit`.
 """
 
 from __future__ import annotations
@@ -60,8 +67,13 @@ def _crop_kernel(bi_ref, ys_ref, xs_ref, fx_ref, fy_ref, canvas_ref, out_ref,
     dma.start()
     dma.wait()
 
+    # H (untiled) residual: dynamic slice. W (sublane) residual: 8-way switch
+    # over static slices (dynamic sublane slicing is unsupported in Mosaic).
+    patch_y = scratch_ref[pl.ds(ry, crop_h + 1)]
+    patch = jax.lax.switch(
+        rx, [lambda r=r: patch_y[:, r : r + crop_w + 1, :] for r in range(8)]
+    )
     # Mosaic has no direct uint8 -> f32 cast; hop through int32.
-    patch = scratch_ref[pl.ds(ry, crop_h + 1), pl.ds(rx, crop_w + 1)]
     if patch.dtype == jnp.uint8:
         patch = patch.astype(jnp.int32)
     patch = patch.astype(jnp.float32)  # (crop+1, crop+1, C)
