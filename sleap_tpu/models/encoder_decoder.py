@@ -318,6 +318,24 @@ class EncoderDecoderNet(nn.Module):
         if self.stem_blocks:
             stem_features = [IntermediateFeature(x, current_stride)]
 
+        if self.stacks > 1:
+            # Stacked nets chain each stack's decoder output into the next
+            # stack's encoder, so the decoder must return to the stem output
+            # stride (reference encoder_decoder.py:632-638 raises the same).
+            enc_prod = 1
+            for blk in self.encoder_blocks:
+                if block_pool(blk):
+                    enc_prod *= block_pooling_stride(blk)
+            dec_prod = 1
+            for blk in self.decoder_blocks:
+                dec_prod *= block_upsampling_stride(blk)
+            if enc_prod != dec_prod:
+                raise ValueError(
+                    "If using a stacked configuration, the backbone must define "
+                    "symmetric encoder and decoder. Create a stem for initial "
+                    "downsampling if an output stride > 1 is desired."
+                )
+
         outputs = []
         intermediates = []
         for s in range(self.stacks):

@@ -90,6 +90,28 @@ def test_hourglass_stacked_outputs():
     assert "batch_stats" in variables
 
 
+def test_hourglass_stacked_asymmetric_raises():
+    """Asymmetric encoder/decoder with stacks>1 must raise (the next stack's
+    encoder would re-enter at the wrong stride; reference
+    encoder_decoder.py:632-638 raises the same)."""
+    import pytest
+
+    model = Model(
+        backbone=Hourglass(
+            down_blocks=2,
+            up_blocks=1,  # decoder stops at stride 4 != stem stride 2
+            stem_filters=4,
+            stem_stride=2,
+            filters=8,
+            filter_increase=4,
+            stacks=2,
+        ),
+        heads=[MultiInstanceConfmapsHead(part_names=["a", "b"], output_stride=4)],
+    )
+    with pytest.raises(ValueError, match="symmetric encoder and decoder"):
+        model.init(jax.random.PRNGKey(0), (64, 64, 1))
+
+
 def test_model_from_config_multiclass():
     c = cfg.ModelConfig(
         backbone=cfg.BackboneConfig(unet=cfg.UNetConfig(max_stride=8, output_stride=2, filters=8)),

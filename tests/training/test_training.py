@@ -135,3 +135,29 @@ def test_train_with_augmentation_and_ohkm(tiny_labels, tmp_path):
     c.optimization.hard_keypoint_mining.online_mining = True
     c.optimization.optimizer = "amsgrad"
     _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_hourglass_with_batchnorm(tiny_labels, tmp_path):
+    """Hourglass uses BatchNorm: exercises mutable batch_stats in training."""
+    c = cfg.TrainingJobConfig()
+    # Stacked hourglass requires symmetric encoder/decoder: output_stride
+    # must equal stem_stride (asymmetric configs raise, as in the reference).
+    c.model.backbone.hourglass = cfg.HourglassConfig(
+        stem_stride=2, max_stride=8, output_stride=2,
+        stem_filters=4, filters=8, filter_increase=4, stacks=2,
+    )
+    c.model.heads.multi_instance = cfg.MultiInstanceConfig(
+        confmaps=cfg.MultiInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0),
+        pafs=cfg.PartAffinityFieldsHeadConfig(output_stride=2, sigma=3.0),
+    )
+    c.optimization.epochs = 2
+    c.optimization.batch_size = 2
+    c.optimization.batches_per_epoch = 2
+    c.optimization.val_batches_per_epoch = 1
+    c.data.preprocessing.pad_to_stride = 8
+    c.outputs.runs_folder = str(tmp_path)
+    c.outputs.run_name = "hourglass"
+    trainer = _run(c, tiny_labels)
+    # Batch stats must have been updated and checkpointed.
+    assert "batch_stats" in trainer.variables
