@@ -55,7 +55,40 @@ def read(filename: str, for_object: str = "labels", as_format: Optional[str] = N
             "NWB import requires pynwb/ndx-pose, which are not available in "
             "this environment."
         )
+    if fmt == "nix":
+        raise NotImplementedError(
+            "NIX export requires the nixio package, which is not available "
+            "in this environment (reference sleap/io/format/nix.py)."
+        )
+    if fmt == "genericjson":
+        return read_json(filename)
+    if fmt in ("text", "txt"):
+        return read_text(filename)
     raise ValueError(f"Cannot detect format for {filename!r} (got {fmt!r}).")
+
+
+def read_json(filename: str) -> dict:
+    """Read any generic JSON file (reference format/genericjson.py:13)."""
+    with open(filename) as f:
+        return json.load(f)
+
+
+def write_json(filename: str, source_object) -> None:
+    """Write a dict as JSON (reference GenericJsonAdaptor.write)."""
+    with open(filename, "w") as f:
+        json.dump(source_object, f, separators=(",", ":"))
+
+
+def read_text(filename: str) -> str:
+    """Read any text file (reference format/text.py:11)."""
+    with open(filename) as f:
+        return f.read()
+
+
+def write_text(filename: str, source_object: str) -> None:
+    """Write a string to a text file (reference TextAdaptor.write)."""
+    with open(filename, "w") as f:
+        f.write(source_object)
 
 
 def sniff_format(filename: str) -> str:
@@ -94,4 +127,8 @@ def sniff_format(filename: str) -> str:
         return "genericjson"
     if low.endswith(".nwb"):
         return "nwb"
+    if low.endswith(".nix"):
+        return "nix"
+    if low.endswith((".txt", ".log")):
+        return "text"
     raise ValueError(f"Unknown file format: {filename}")

@@ -409,6 +409,63 @@ class SingleImageVideo:
         return self._cache[idx]
 
 
+@attr.s(auto_attribs=True, eq=False)
+class ImgStoreVideo:
+    """Frames stored as a loopbio ImgStore dataset (gated on the ``imgstore``
+    package; reference video.py:611-818). Construction raises with guidance
+    when the package is absent — it is not baked into this environment."""
+
+    filename: str = ""
+    index_by_original: bool = True
+
+    def __attrs_post_init__(self):
+        try:
+            import imgstore  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "ImgStoreVideo requires the 'imgstore' package, which is not "
+                "available in this environment. Convert the store to HDF5 or "
+                "mp4, or use Video.from_filename on the source media."
+            ) from e
+        self._store = imgstore.new_for_filename(self._store_path())
+        self._img, (frame_number, _) = self._store.get_next_image()
+
+    def _store_path(self) -> str:
+        fn = self.filename
+        if os.path.isdir(fn):
+            fn = os.path.join(fn, "metadata.yaml")
+        return fn
+
+    @property
+    def frames(self) -> int:
+        return self._store.frame_count
+
+    @property
+    def height(self) -> int:
+        return self._img.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self._img.shape[1]
+
+    @property
+    def channels(self) -> int:
+        return 1 if self._img.ndim == 2 else self._img.shape[2]
+
+    @property
+    def dtype(self):
+        return self._img.dtype
+
+    def get_frame(self, idx: int) -> np.ndarray:
+        if self.index_by_original:
+            img, _ = self._store.get_image(frame_number=idx)
+        else:
+            img, _ = self._store.get_image(frame_number=None, frame_index=idx)
+        if img.ndim == 2:
+            img = img[..., None]
+        return img
+
+
 BackendType = Union[MediaVideo, HDF5Video, NumpyVideo, SingleImageVideo, DummyVideo]
 
 _BACKEND_NAMES = {
@@ -417,6 +474,7 @@ _BACKEND_NAMES = {
     "NumpyVideo": NumpyVideo,
     "SingleImageVideo": SingleImageVideo,
     "DummyVideo": DummyVideo,
+    "ImgStoreVideo": ImgStoreVideo,
 }
 
 
@@ -553,6 +611,118 @@ class Video:
                 input_format=input_format,
                 convert_range=convert_range,
             )
+        )
+
+    def to_hdf5(
+        self,
+        path: str,
+        dataset: str,
+        frame_numbers: Optional[List[int]] = None,
+        format: str = "",
+        index_by_original: bool = True,
+    ) -> "Video":
+        """Copy frames into an HDF5 dataset and return a Video over it.
+
+        Matches the reference layout (video.py:1399-1492): raw frames at
+        ``<dataset>/video`` (or per-frame encoded byte rows with
+        format/height/width/channels attrs when ``format`` is given), the
+        original frame numbers at ``<dataset>/frame_numbers``, and the source
+        video's JSON under ``<dataset>/source_video``.
+        """
+        import json as _json
+
+        import h5py
+
+        if frame_numbers is None:
+            frame_numbers = list(range(self.num_frames))
+        frame_data = (
+            self.get_frames(frame_numbers)
+            if frame_numbers
+            else np.zeros((1, 1, 1, 1))
+        )
+
+        with h5py.File(path, "a") as f:
+            if format:
+                import cv2
+
+                encoded = []
+                for img in frame_data:
+                    ok, buf = cv2.imencode("." + format, img)
+                    if not ok:
+                        raise ValueError(f"Could not encode frame as {format}.")
+                    encoded.append(np.squeeze(buf).astype("int8"))
+                max_size = max((len(e) for e in encoded), default=0)
+                dset = f.create_dataset(
+                    dataset + "/video",
+                    (len(encoded), max_size),
+                    dtype="int8",
+                    compression="gzip",
+                )
+                dset.attrs["format"] = format
+                dset.attrs["channels"] = self.channels
+                dset.attrs["height"] = self.height
+                dset.attrs["width"] = self.width
+                for i, e in enumerate(encoded):
+                    dset[i, : len(e)] = e
+            else:
+                f.create_dataset(
+                    dataset + "/video",
+                    data=frame_data,
+                    compression="gzip",
+                    compression_opts=9,
+                )
+            if index_by_original:
+                f.create_dataset(
+                    dataset + "/frame_numbers",
+                    data=np.asarray(frame_numbers, dtype=int),
+                )
+            grp = f.require_group(dataset + "/source_video")
+            grp.attrs["json"] = _json.dumps(self.to_dict())
+
+        return Video(
+            backend=HDF5Video(
+                filename=path,
+                dataset=dataset + "/video",
+                input_format="channels_last",
+                convert_range=False,
+            )
+        )
+
+    def to_imgstore(
+        self,
+        path: str,
+        frame_numbers: Optional[List[int]] = None,
+        format: str = "png",
+        index_by_original: bool = True,
+    ) -> "Video":
+        """Copy frames into a loopbio ImgStore (gated on the ``imgstore``
+        package; reference video.py:1318-1397)."""
+        try:
+            import imgstore
+        except ImportError as e:
+            raise ImportError(
+                "Video.to_imgstore requires the 'imgstore' package, which is "
+                "not available in this environment. Use Video.to_hdf5 for an "
+                "equivalent self-contained frame store."
+            ) from e
+        if frame_numbers is None:
+            frame_numbers = list(range(self.num_frames))
+        store = imgstore.new_for_format(
+            format,
+            mode="w",
+            basedir=path,
+            imgshape=(self.height, self.width, self.channels),
+            chunksize=1000,
+        )
+        import time
+
+        for i in frame_numbers:
+            store.add_image(
+                self.get_frame(i), i if index_by_original else 0, time.time()
+            )
+        store.close()
+        return Video(
+            backend=ImgStoreVideo(filename=path, index_by_original=index_by_original)
         )
 
     @classmethod

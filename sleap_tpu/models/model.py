@@ -176,6 +176,15 @@ class Model:
             from sleap_tpu.models.resnet import ResNet
 
             backbone = ResNet.from_config(backbone_config)
+        elif isinstance(backbone_config, cfg.PretrainedEncoderConfig):
+            raise NotImplementedError(
+                "Pretrained encoders (reference "
+                "sleap/nn/architectures/pretrained_encoders.py, built on the "
+                "keras segmentation_models zoo) require downloaded imagenet "
+                "weights, which are unavailable in this offline environment. "
+                "Use the 'resnet' backbone with a locally converted Keras .h5 "
+                "checkpoint (sleap_tpu.io.keras_h5) instead."
+            )
         elif backbone_config is None:
             raise ValueError("Backbone architecture was not specified.")
         else:
