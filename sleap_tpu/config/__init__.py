@@ -210,6 +210,20 @@ class PretrainedEncoderConfig:
 
 
 @attr.s(auto_attribs=True)
+class HRNetConfig:
+    """HigherHRNet backbone (reference hrnet.py:576; experimental there, a
+    first-class backbone here)."""
+
+    C: int = 18
+    initial_downsampling_steps: int = 2
+    n_deconv_modules: int = 1
+    bottleneck: bool = False
+    deconv_filters: int = 256
+    bilinear_upsampling: bool = False
+    stem_filters: int = 64
+
+
+@attr.s(auto_attribs=True)
 class BackboneConfig:
     """Oneof: exactly one backbone may be set."""
 
@@ -218,6 +232,7 @@ class BackboneConfig:
     hourglass: Optional[HourglassConfig] = None
     resnet: Optional[ResNetConfig] = None
     pretrained_encoder: Optional[PretrainedEncoderConfig] = None
+    hrnet: Optional[HRNetConfig] = None
 
     @property
     def which_oneof_attrib_name(self) -> Optional[str]:
@@ -581,6 +596,7 @@ _TYPE_REGISTRY = {
         UpsamplingConfig,
         ResNetConfig,
         PretrainedEncoderConfig,
+        HRNetConfig,
         BackboneConfig,
         ModelConfig,
         LabelsConfig,

@@ -176,6 +176,10 @@ class Model:
             from sleap_tpu.models.resnet import ResNet
 
             backbone = ResNet.from_config(backbone_config)
+        elif isinstance(backbone_config, cfg.HRNetConfig):
+            from sleap_tpu.models.hrnet import HigherHRNet
+
+            backbone = HigherHRNet.from_config(backbone_config)
         elif isinstance(backbone_config, cfg.PretrainedEncoderConfig):
             raise NotImplementedError(
                 "Pretrained encoders (reference "

@@ -157,3 +157,69 @@ def test_keras_h5_weight_loading():
     # All leaves replaced with matching shapes, outputs finite.
     out = module.apply(loaded, jnp.zeros((1, 192, 192, 1)), train=False)
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in out.values())
+
+
+def test_hrnet_output_shapes():
+    from sleap_tpu.models.hrnet import HigherHRNet
+
+    model = Model(
+        backbone=HigherHRNet(C=8, stem_filters=8, deconv_filters=16),
+        heads=[
+            MultiInstanceConfmapsHead(part_names=["a", "b"], output_stride=2),
+            PartAffinityFieldsHead(edges=[("a", "b")], output_stride=2),
+        ],
+    )
+    assert model.maximum_stride == 32
+    assert model.output_stride == 2
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((2, 64, 64, 1)), train=False)
+    assert out["MultiInstanceConfmapsHead"].shape == (2, 32, 32, 2)
+    assert out["PartAffinityFieldsHead"].shape == (2, 32, 32, 2)
+    assert "batch_stats" in variables
+
+
+def test_hrnet_head_at_trunk_stride():
+    """A head whose stride matches the trunk (pre-deconv) attaches there."""
+    from sleap_tpu.models.hrnet import HigherHRNet
+
+    model = Model(
+        backbone=HigherHRNet(C=8, stem_filters=8, deconv_filters=16),
+        heads=[
+            MultiInstanceConfmapsHead(part_names=["a"], output_stride=2),
+            CentroidConfmapsHead(output_stride=4),
+        ],
+    )
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert out["MultiInstanceConfmapsHead"].shape == (1, 32, 32, 1)
+    assert out["CentroidConfmapsHead"].shape == (1, 16, 16, 1)
+
+
+def test_hrnet32_param_count():
+    """Reference claims HRNet32 has ~30M params (hrnet.py:581)."""
+    from sleap_tpu.models.hrnet import HigherHRNet
+
+    model = Model(
+        backbone=HigherHRNet(C=32),
+        heads=[MultiInstanceConfmapsHead(part_names=["a"], output_stride=2)],
+    )
+    module = model.make_flax_module()
+    shapes = jax.eval_shape(
+        lambda rng, x: module.init(rng, x, train=False),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 64, 64, 1), jnp.float32),
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
+    assert 25e6 < n < 35e6
+
+
+def test_hrnet_from_config_roundtrip(tmp_path):
+    import sleap_tpu.config as C
+
+    c = C.TrainingJobConfig()
+    c.model.backbone.hrnet = C.HRNetConfig(C=8)
+    p = str(tmp_path / "cfg.json")
+    c.save_json(p)
+    c2 = C.load_config(p)
+    assert c2.model.backbone.hrnet.C == 8
+    assert c2.model.backbone.which_oneof_attrib_name == "hrnet"
