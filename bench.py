@@ -79,19 +79,30 @@ def build_predictor():
             config=cfg, model=model, module=module, variables=variables, input_channels=1
         )
 
+    # TPU-native configs mirroring the reference's standard top-down profiles
+    # (baseline.centroid.json / baseline_medium_rf.topdown.json: UNet
+    # max_stride 16, up_interpolate true, centered-instance output_stride 4),
+    # with the space-to-depth stem so early convs run MXU-wide instead of at
+    # 1-channel (capacity-matched: filters scale with the folded pixels).
     centroid_cfg = ModelConfig(
         backbone=BackboneConfig(
-            unet=UNetConfig(max_stride=16, output_stride=4, filters=16, filters_rate=2.0)
+            unet=UNetConfig(
+                max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
+                up_interpolate=True, space_to_depth=4,
+            )
         ),
         heads=HeadsConfig(centroid=CentroidsHeadConfig(output_stride=4, sigma=2.5)),
     )
     instance_cfg = ModelConfig(
         backbone=BackboneConfig(
-            unet=UNetConfig(max_stride=16, output_stride=2, filters=16, filters_rate=2.0)
+            unet=UNetConfig(
+                max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
+                up_interpolate=True, space_to_depth=4,
+            )
         ),
         heads=HeadsConfig(
             centered_instance=CenteredInstanceConfmapsHeadConfig(
-                part_names=[f"n{i}" for i in range(13)], output_stride=2, sigma=2.5
+                part_names=[f"n{i}" for i in range(13)], output_stride=4, sigma=2.5
             )
         ),
     )
@@ -121,9 +132,11 @@ def main():
             images, acc = carry
             out = infer(images)
             # Data dependency between iterations: fold a result scalar into
-            # the input so iterations cannot be elided or reordered.
+            # one input element so iterations cannot be elided or reordered.
+            # (A full-image f32 roundtrip here costs ~1.5 ms/iter of pure
+            # measurement artifact; a single-element in-place update is free.)
             delta = jnp.nan_to_num(out["instance_peaks"]).sum() * 0.0
-            images = (images.astype(jnp.float32) + delta).astype(jnp.uint8)
+            images = images.at[0, 0, 0, 0].add(delta.astype(jnp.uint8))
             acc = acc + jnp.nan_to_num(out["centroid_vals"]).sum()
             return (images, acc)
 

@@ -165,6 +165,11 @@ class UNetConfig:
     middle_block: bool = True
     up_interpolate: bool = False
     stacks: int = 1
+    # TPU-native extension (no reference counterpart): pixel-shuffle the
+    # input by this factor before the first convs (lossless downsampling
+    # with factor^2 x channels -> far better MXU utilization). Counts
+    # toward max_stride. 1 = off.
+    space_to_depth: int = 1
 
 
 @attr.s(auto_attribs=True)

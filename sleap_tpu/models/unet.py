@@ -18,12 +18,21 @@ from sleap_tpu.models.encoder_decoder import (
     PoolingBlock,
     SimpleConvBlock,
     SimpleUpsamplingBlock,
+    SpaceToDepthBlock,
 )
 
 
 @attr.s(auto_attribs=True, frozen=True)
 class UNet:
-    """UNet architecture description (reference unet.py:46)."""
+    """UNet architecture description (reference unet.py:46).
+
+    ``space_to_depth`` (TPU-native extension, default off): pixel-shuffle
+    the input by this factor before the first conv block, so early convs
+    run at reduced spatial size with factor^2 x input channels. Lossless —
+    unlike resize-based input scaling — and far better MXU utilization
+    than stride-1 convs over 1-3 channel images. Counts toward
+    maximum_stride like any other stem downsampling.
+    """
 
     filters: int = 64
     filters_rate: float = 2
@@ -37,26 +46,33 @@ class UNet:
     up_interpolate: bool = False
     block_contraction: bool = False
     stacks: int = 1
+    space_to_depth: int = 1
 
     @property
     def stem_stride(self) -> Optional[int]:
-        return 2**self.stem_blocks if self.stem_blocks else None
+        s = self.space_to_depth * (2**self.stem_blocks)
+        return s if s > 1 else None
 
     @property
     def maximum_stride(self) -> int:
-        return 2 ** (self.stem_blocks + self.down_blocks)
+        return self.space_to_depth * 2 ** (self.stem_blocks + self.down_blocks)
 
     @property
     def output_stride(self) -> int:
-        return 2 ** (self.stem_blocks + self.down_blocks - self.up_blocks)
+        return self.maximum_stride // (2**self.up_blocks)
 
     def _block_filters(self, block: int) -> int:
         return int(self.filters * (self.filters_rate**block))
 
     def make_stem_blocks(self) -> tuple:
+        s2d = (
+            (SpaceToDepthBlock(self.space_to_depth),)
+            if self.space_to_depth > 1
+            else ()
+        )
         if self.stem_blocks == 0:
-            return ()
-        blocks = []
+            return s2d
+        blocks = list(s2d)
         for block in range(self.stem_blocks):
             blocks.append(
                 SimpleConvBlock(
@@ -149,10 +165,13 @@ class UNet:
 
     @classmethod
     def from_config(cls, config: UNetConfig) -> "UNet":
+        s2d = int(getattr(config, "space_to_depth", 1) or 1)
         stem_blocks = 0
         if config.stem_stride is not None:
             stem_blocks = int(np.log2(config.stem_stride))
-        down_blocks = int(np.log2(config.max_stride)) - stem_blocks
+        down_blocks = (
+            int(np.log2(config.max_stride)) - stem_blocks - int(np.log2(s2d))
+        )
         up_blocks = int(np.log2(config.max_stride / config.output_stride))
         return cls(
             filters=config.filters,
@@ -166,4 +185,5 @@ class UNet:
             up_blocks=up_blocks,
             up_interpolate=config.up_interpolate,
             stacks=config.stacks,
+            space_to_depth=s2d,
         )

@@ -223,3 +223,37 @@ def test_hrnet_from_config_roundtrip(tmp_path):
     c2 = C.load_config(p)
     assert c2.model.backbone.hrnet.C == 8
     assert c2.model.backbone.which_oneof_attrib_name == "hrnet"
+
+
+def test_unet_space_to_depth():
+    """TPU-native s2d stem: strides account for the pixel-shuffle factor."""
+    from sleap_tpu.models.encoder_decoder import space_to_depth
+
+    x = jnp.arange(2 * 8 * 8 * 3).reshape(2, 8, 8, 3).astype(jnp.float32)
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 4, 4, 12)
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0, 3:6]), np.asarray(x[0, 0, 1]))
+
+    c = cfg.ModelConfig(
+        backbone=cfg.BackboneConfig(
+            unet=cfg.UNetConfig(
+                max_stride=16, output_stride=4, filters=16, space_to_depth=4
+            )
+        ),
+        heads=cfg.HeadsConfig(centroid=cfg.CentroidsHeadConfig(output_stride=4)),
+    )
+    model = Model.from_config(c)
+    assert model.maximum_stride == 16
+    assert model.output_stride == 4
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((2, 64, 64, 1)), train=False)
+    assert out["CentroidConfmapsHead"].shape == (2, 16, 16, 1)
+
+    # Gradients flow through the shuffle.
+    def loss(p):
+        o = module.apply({"params": p}, jnp.ones((1, 64, 64, 1)) * 0.5, train=True)
+        return sum(v.sum() for v in o.values())
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))

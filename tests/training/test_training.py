@@ -161,3 +161,21 @@ def test_train_hourglass_with_batchnorm(tiny_labels, tmp_path):
     trainer = _run(c, tiny_labels)
     # Batch stats must have been updated and checkpointed.
     assert "batch_stats" in trainer.variables
+
+
+@pytest.mark.slow
+def test_train_unet_space_to_depth(tiny_labels, tmp_path):
+    """The TPU-native s2d stem trains end-to-end."""
+    c = cfg.TrainingJobConfig()
+    c.model.backbone.unet = cfg.UNetConfig(
+        max_stride=8, output_stride=4, filters=8, space_to_depth=4
+    )
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=4, sigma=2.5)
+    c.optimization.epochs = 2
+    c.optimization.batch_size = 2
+    c.optimization.batches_per_epoch = 2
+    c.optimization.val_batches_per_epoch = 1
+    c.data.preprocessing.pad_to_stride = 8
+    c.outputs.runs_folder = str(tmp_path)
+    c.outputs.run_name = "s2d"
+    _run(c, tiny_labels)
