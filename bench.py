@@ -36,7 +36,7 @@ jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
 )
 
-BATCH = 8
+BATCH = 16
 IMG = 1024
 CROP = 160
 MAX_INSTANCES = 4
