@@ -185,10 +185,6 @@ def crop_bboxes_unit(
     """
     crop_h, crop_w = crop_size
     H, W, C = images.shape[1], images.shape[2], images.shape[3]
-    pad_h, pad_w = crop_h + 1, crop_w + 1
-    # Pad in the input dtype (uint8 frames stay uint8: 4x less HBM traffic);
-    # the float conversion happens on the small sliced patches below.
-    padded = jnp.pad(images, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
 
     x1 = top_left[:, 0]
     y1 = top_left[:, 1]
@@ -196,18 +192,33 @@ def crop_bboxes_unit(
     y0 = jnp.floor(y1)
     fx = (x1 - x0)[:, None, None, None]
     fy = (y1 - y0)[:, None, None, None]
-    # Clip so the (crop+1)^2 slice stays inside the padded canvas; original
-    # coordinates outside the image read zeros from the padding.
-    ys = jnp.clip(y0.astype(jnp.int32) + pad_h, 0, H + pad_h)
-    xs = jnp.clip(x0.astype(jnp.int32) + pad_w, 0, W + pad_w)
 
-    def one(bi, yi, xi):
-        return lax.dynamic_slice(
-            padded[bi], (yi, xi, 0), (crop_h + 1, crop_w + 1, C)
+    # Slice from origins clamped into the image (padding the full frame
+    # costs ~4x this whole function on TPU), then re-align each patch to
+    # its true origin with a per-crop roll and zero taps whose original
+    # coordinates fall outside the image (TF extrapolation_value=0).
+    yd = y0.astype(jnp.int32)
+    xd = x0.astype(jnp.int32)
+    yi = jnp.clip(yd, 0, max(H - crop_h - 1, 0))
+    xi = jnp.clip(xd, 0, max(W - crop_w - 1, 0))
+
+    def one(bi, yy, xx, dy, dx):
+        patch = lax.dynamic_slice(
+            images[bi], (yy, xx, 0), (crop_h + 1, crop_w + 1, C)
         )
+        # Shift so patch[r, c] holds pixel (y0 + r, x0 + c); wrapped taps
+        # are masked below.
+        return jnp.roll(patch, (-dy, -dx), axis=(0, 1))
 
-    patches = jax.vmap(one)(box_indices.astype(jnp.int32), ys, xs)
+    patches = jax.vmap(one)(
+        box_indices.astype(jnp.int32), yi, xi, yd - yi, xd - xi
+    )
     patches = patches.astype(jnp.float32)
+    gy = yd[:, None] + jnp.arange(crop_h + 1)[None, :]
+    gx = xd[:, None] + jnp.arange(crop_w + 1)[None, :]
+    my = ((gy >= 0) & (gy < H)).astype(jnp.float32)[:, :, None, None]
+    mx = ((gx >= 0) & (gx < W)).astype(jnp.float32)[:, None, :, None]
+    patches = patches * my * mx
     top = patches[:, :-1, :-1] * (1 - fx) + patches[:, :-1, 1:] * fx
     bot = patches[:, 1:, :-1] * (1 - fx) + patches[:, 1:, 1:] * fx
     return top * (1 - fy) + bot * fy
