@@ -21,6 +21,41 @@ from sleap_tpu.core.instance import Instance, PredictedInstance, Track
 from sleap_tpu.tracking.components import greedy_matching
 
 
+def remove_second_bests_from_cost_matrix(
+    cost_matrix: np.ndarray, thresh: float, invalid_val: float = np.nan
+) -> np.ndarray:
+    """Invalidate ambiguous matches (reference kalman.py:585).
+
+    A column (track) whose best cost is within ``thresh`` of its second-best
+    is fully invalidated; a row (instance) is invalidated when its best
+    match is ambiguous the same way OR its best column was already ruled
+    out (so the instance doesn't get silently matched to its second
+    choice). Returns a copy with invalid entries set to ``invalid_val``.
+    """
+    cm = np.asarray(cost_matrix, dtype=float)
+    valid = np.ones(cm.shape, dtype=bool)
+
+    with np.errstate(invalid="ignore"):
+        for c in range(cm.shape[1]):
+            col = cm[:, c]
+            if np.all(np.isnan(col)):
+                continue
+            if np.sum(col < (np.nanmin(col) + thresh)) > 1:
+                valid[:, c] = False
+        for r in range(cm.shape[0]):
+            row = cm[r]
+            if np.all(np.isnan(row)):
+                continue
+            best = np.nanargmin(row)
+            ambiguous = np.sum(row < (row[best] + thresh)) > 1
+            if ambiguous or not valid[r, best]:
+                valid[r] = False
+
+    out = cm.copy()
+    out[~valid] = invalid_val
+    return out
+
+
 class ConstantVelocityKF:
     """Constant-velocity Kalman filter over a flat coordinate vector.
 
@@ -85,13 +120,13 @@ class BareKalmanTracker:
         instance_score_thresh: float = 0.3,
         reset_gap_size: int = 5,
     ) -> "BareKalmanTracker":
+        instances = [inst for lf in frames for inst in lf.predicted_instances]
         obj = cls(
             node_indices=node_indices,
             instance_count=instance_count,
             instance_score_thresh=instance_score_thresh,
             reset_gap_size=reset_gap_size,
         )
-        instances = [inst for lf in frames for inst in lf.predicted_instances]
         obj.init_filters(instances)
         return obj
 
@@ -101,6 +136,13 @@ class BareKalmanTracker:
     def init_filters(self, instances) -> None:
         if not instances:
             raise ValueError("Kalman filter must be initialized with instances.")
+        n_nodes = len(instances[0].skeleton.nodes)
+        bad = [i for i in self.node_indices if not 0 <= i < n_nodes]
+        if bad:
+            raise ValueError(
+                f"Kalman node indices {bad} out of range for skeleton with "
+                f"{n_nodes} nodes."
+            )
         by_track: Dict[Track, List[np.ndarray]] = {}
         for inst in instances:
             if inst.track is None:
@@ -140,8 +182,15 @@ class BareKalmanTracker:
                 valid = ~np.isnan(diff)
                 if valid.any():
                     cost[i, j] = float(np.nanmean(np.abs(diff)))
-        # Second-best suppression (reference tracking.py:585): ambiguous
-        # assignments (close best/second-best) are left unmatched.
+        # Second-best suppression (reference kalman.py:195): ambiguous
+        # assignments (best too close to second-best, threshold = the data's
+        # own minimum distance) are left unmatched.
+        cost_nan = np.where(np.isfinite(cost), cost, np.nan)
+        if np.all(np.isnan(cost_nan)):
+            return untracked_instances
+        cost = remove_second_bests_from_cost_matrix(
+            cost_nan, thresh=float(np.nanmin(cost_nan)), invalid_val=np.inf
+        )
         matches = greedy_matching(cost)
         tracked = []
         matched_inst = set()
@@ -213,6 +262,18 @@ class KalmanTracker:
             self.init_frames.append(tracked)
             if len(self.init_frames) >= self.init_frame_count:
                 instances = [i for frame in self.init_frames for i in frame]
+                if instances:
+                    # Config errors (bad node indices) must surface, not be
+                    # swallowed by the retry loop below.
+                    n_nodes = len(instances[0].skeleton.nodes)
+                    bad = [
+                        i for i in self.node_indices if not 0 <= i < n_nodes
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"Kalman node indices {bad} out of range for "
+                            f"skeleton with {n_nodes} nodes."
+                        )
                 try:
                     kf = BareKalmanTracker(
                         node_indices=self.node_indices,

@@ -629,15 +629,41 @@ def main(args=None) -> None:
     parser.add_argument("--tracking.match", dest="match", default="greedy")
     parser.add_argument("--tracking.track_window", dest="track_window", type=int, default=5)
     parser.add_argument("--tracking.max_tracks", dest="max_tracks", type=int, default=None)
+    parser.add_argument(
+        "--tracking.kf_init_frame_count", dest="kf_init_frame_count",
+        type=int, default=0,
+        help="If >0, init Kalman filters from this many flow-tracked frames.",
+    )
+    parser.add_argument(
+        "--tracking.kf_node_indices", dest="kf_node_indices", default=None,
+        help="Comma-separated node indices the Kalman filters track.",
+    )
+    parser.add_argument(
+        "--frames", default=None,
+        help="Frame range to retrack, e.g. 0-100 (default: all).",
+    )
     ns = parser.parse_args(args)
 
     labels = Labels.load_file(ns.data_path)
+    if ns.frames:
+        lo, _, hi = ns.frames.partition("-")
+        lo, hi = int(lo), int(hi or lo)
+        labels = Labels(
+            [lf for lf in labels if lo <= lf.frame_idx <= hi]
+        )
+    kf_nodes = (
+        [int(i) for i in ns.kf_node_indices.split(",")]
+        if ns.kf_node_indices
+        else None
+    )
     tracker = Tracker.make_tracker_by_name(
         tracker=ns.tracker,
         similarity=ns.similarity,
         match=ns.match,
         track_window=ns.track_window,
         max_tracks=ns.max_tracks,
+        kf_init_frame_count=ns.kf_init_frame_count,
+        kf_node_indices=kf_nodes,
     )
     retrack(labels, tracker)
     out = ns.output or (ns.data_path + ".retracked.slp")
