@@ -132,3 +132,65 @@ def test_instance_centroids_anchor_and_fallback():
     np.testing.assert_allclose(anchors[0], [10.0, 12.0])
     # Anchor missing -> bbox midpoint of visible points.
     np.testing.assert_allclose(anchors[1], [21.0, 23.0])
+
+
+def test_dataset_ops_chain(labels):
+    from sleap_tpu.data.dataset_ops import (
+        Batcher, KeyFilter, KeyRenamer, LambdaFilter, LambdaMap,
+        Preloader, Repeater, Shuffler, Unbatcher,
+    )
+    from sleap_tpu.data.providers import LabelsReader
+
+    reader = LabelsReader.from_user_instances(labels)
+    examples = Preloader().transform_dataset(reader)
+    assert len(examples) == 4
+
+    shuffled = list(Shuffler(seed=0, buffer_size=2).transform_dataset(examples))
+    assert sorted(ex["frame_ind"] for ex in shuffled) == [0, 1, 2, 3]
+
+    kept = list(LambdaFilter(lambda ex: ex["frame_ind"] % 2 == 0).transform_dataset(examples))
+    assert [ex["frame_ind"] for ex in kept] == [0, 2]
+
+    renamed = list(
+        KeyRenamer(["image"], ["img"]).transform_dataset(examples)
+    )
+    assert "img" in renamed[0] and "image" not in renamed[0]
+
+    filtered = list(KeyFilter(["image", "frame_ind"]).transform_dataset(examples))
+    assert set(filtered[0]) == {"image", "frame_ind"}
+
+    mapped = list(LambdaMap(lambda ex: {**ex, "twice": ex["frame_ind"] * 2}).transform_dataset(examples))
+    assert mapped[3]["twice"] == 6
+
+    batches = list(Batcher(batch_size=3).transform_dataset(examples))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (3, 48, 64, 1)
+    assert batches[1]["image"].shape == (1, 48, 64, 1)
+
+    back = list(Unbatcher().transform_dataset(batches))
+    assert len(back) == 4
+
+    doubled = list(Repeater(epochs=2).transform_dataset(examples))
+    assert len(doubled) == 8
+
+
+def test_batcher_pads_ragged_instances(labels):
+    import numpy as np
+    from sleap_tpu.data.dataset_ops import Batcher
+
+    exs = [
+        {"instances": np.zeros((1, 3, 2), np.float32)},
+        {"instances": np.zeros((4, 3, 2), np.float32)},
+    ]
+    batch = next(Batcher(batch_size=2).transform_dataset(exs))
+    assert batch["instances"].shape == (2, 4, 3, 2)
+    assert np.isnan(batch["instances"][0, 1:]).all()  # NaN padding
+
+
+def test_split_labels_train_val(labels):
+    from sleap_tpu.data.dataset_ops import split_labels_train_val
+
+    train, val = split_labels_train_val(labels, 0.25, seed=1)
+    assert len(train) == 3 and len(val) == 1
+    all_idx = {lf.frame_idx for lf in train} | {lf.frame_idx for lf in val}
+    assert all_idx == {0, 1, 2, 3}
