@@ -81,7 +81,15 @@ class Batcher:
                 padded = []
                 for v in vals:
                     pad = [(0, m - s) for s, m in zip(v.shape, maxd)]
-                    fill = np.nan if np.issubdtype(v.dtype, np.floating) else 0
+                    # -1 sentinel for integer keys (0 aliases real values like
+                    # track index 0); NaN for floats, matching the ragged->
+                    # dense padding contract elsewhere.
+                    if np.issubdtype(v.dtype, np.floating):
+                        fill = np.nan
+                    elif np.issubdtype(v.dtype, np.signedinteger):
+                        fill = -1
+                    else:
+                        fill = 0
                     padded.append(np.pad(v, pad, constant_values=fill))
                 out[key] = np.stack(padded)
         return out
@@ -205,7 +213,11 @@ def split_labels_train_val(labels, validation_fraction: float, seed: Optional[in
     lfs = [lf for lf in labels if len(lf.user_instances) > 0] or list(labels)
     idx = list(range(len(lfs)))
     random.Random(seed).shuffle(idx)
-    n_val = max(1, int(round(len(lfs) * validation_fraction))) if len(lfs) > 1 else 0
+    n_val = (
+        min(max(1, int(round(len(lfs) * validation_fraction))), len(lfs) - 1)
+        if len(lfs) > 1
+        else 0
+    )
     val_idx = set(idx[:n_val])
     train = Labels([lfs[i] for i in range(len(lfs)) if i not in val_idx])
     val = Labels([lfs[i] for i in sorted(val_idx)])

@@ -176,6 +176,12 @@ def read_labels(
         pred_points = (
             f["pred_points"][:] if "pred_points" in f else np.zeros(0, dtype=PRED_POINT_DTYPE)
         )
+        # Pre-1.1 files stored user points in gridline coordinates (top-left
+        # corner at (0, 0) instead of (-0.5, -0.5)); shift user points only,
+        # matching reference io/format/hdf5.py:151-155.
+        if format_id < 1.1 and points.shape[0]:
+            points["x"] -= 0.5
+            points["y"] -= 0.5
         inst_table = f["instances"][:] if "instances" in f else np.zeros(0, dtype=INSTANCE_DTYPE)
         frame_table = f["frames"][:] if "frames" in f else np.zeros(0, dtype=FRAME_DTYPE)
 

@@ -209,12 +209,19 @@ class BareKalmanTracker:
         ]
         return tracked + untouched
 
+    @property
+    def last_frame_with_tracks(self) -> int:
+        """Most recent frame index where any track matched an instance."""
+        return max(self.last_frame_for_track.values(), default=-1)
+
     def has_stale_filters(self, t: int) -> bool:
-        """True when any track hasn't matched within the reset gap."""
-        return any(
-            t - self.last_frame_for_track.get(track, t) > self.reset_gap_size
-            for track in self.tracks
-        )
+        """True when NO track has matched within the reset gap.
+
+        Mirrors reference tracking.py:1488: re-initialization keys off the
+        last frame with any successful match, not a single track's gap —
+        resetting on one briefly-occluded animal churns identities.
+        """
+        return self.last_frame_with_tracks < t - self.reset_gap_size
 
 
 @attr.s(auto_attribs=True)
@@ -227,10 +234,13 @@ class KalmanTracker:
     node_indices: List[int]
     instance_count: int
     init_frame_count: int = 10
+    re_init_cooldown: int = 100
+    re_init_after: int = 20
 
     kf: Optional[BareKalmanTracker] = None
     init_frames: List = attr.ib(factory=list)
     _frame_count: int = 0
+    _last_init_t: int = 0
 
     @classmethod
     def make_tracker(
@@ -281,15 +291,22 @@ class KalmanTracker:
                     )
                     kf.init_filters(instances)
                     self.kf = kf
+                    self._last_init_t = t if t is not None else self._frame_count
                 except ValueError:
                     self.init_frames = []
             return tracked
         t = t if t is not None else self._frame_count
         tracked = self.kf.track_frame(untracked_instances, t)
-        if self.kf.has_stale_filters(t):
+        # Re-init only after a cooldown since the last init AND a sustained
+        # all-tracks matching failure (reference tracking.py:1484-1498).
+        if (t - self._last_init_t) > self.re_init_cooldown and (
+            self.kf.last_frame_with_tracks < t - self.re_init_after
+        ):
             # Restart initialization with the flow tracker.
             self.kf = None
             self.init_frames = []
+            if hasattr(self.init_tracker, "reset_candidates"):
+                self.init_tracker.reset_candidates()
         return tracked
 
     def final_pass(self, frames) -> None:

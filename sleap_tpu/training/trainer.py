@@ -539,7 +539,9 @@ class Trainer:
                     break
 
             val_losses = []
-            for b in range(val_batches):
+            # No usable validation examples (all frames dropped at preload):
+            # skip validation; val_loss falls back to train_loss below.
+            for b in range(val_batches if self._val_examples else 0):
                 idx = rng.integers(0, max(len(self._val_examples), 1), batch_size)
                 batch = self.make_batch(
                     [self._val_examples[i % len(self._val_examples)] for i in idx], rng
