@@ -32,6 +32,11 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--video.input_format", dest="video_input_format", default="channels_last")
     parser.add_argument("--video.index", dest="video_index", default="")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--n-devices", type=int, default=None, dest="n_devices",
+        help="Data-parallel inference over this many devices: each takes a "
+        "batch slice; per-device batch stays at --batch_size.",
+    )
     parser.add_argument("--peak_threshold", type=float, default=0.2)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--max_instances", "-n", type=int, default=None)
@@ -160,6 +165,13 @@ def main(args: Optional[List[str]] = None) -> None:
 
     provider, _ = make_provider_from_cli(ns)
     predictor = make_predictor_from_cli(ns)
+    if ns.n_devices and ns.n_devices > 1:
+        from sleap_tpu.parallel.distributed import make_sharded_predictor
+        from sleap_tpu.parallel.mesh import make_mesh
+
+        predictor = make_sharded_predictor(
+            predictor, make_mesh(n_devices=ns.n_devices)
+        )
     predictor.tracker = make_tracker_from_cli(ns)
 
     labels_pr = predictor.predict(provider)

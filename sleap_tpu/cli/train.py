@@ -37,6 +37,12 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prefix", default="")
     parser.add_argument("--suffix", default="")
     parser.add_argument("--cpu", action="store_true", help="Run on CPU only.")
+    parser.add_argument(
+        "--n-devices", type=int, default=None, dest="n_devices",
+        help="Data-parallel training over this many devices (default: 1). "
+        "Batches are sharded over a device mesh; params are replicated and "
+        "the gradient all-reduce rides the interconnect.",
+    )
     return parser
 
 
@@ -75,7 +81,7 @@ def create_trainer_using_cli(args: Optional[List[str]] = None):
         cfg.outputs.zmq.controller_address = f"tcp://127.0.0.1:{ns.controller_port}"
         cfg.outputs.zmq.publish_address = f"tcp://127.0.0.1:{ns.publish_port}"
 
-    return Trainer.from_config(cfg)
+    return Trainer.from_config(cfg, n_devices=ns.n_devices)
 
 
 def main(args: Optional[List[str]] = None) -> None:

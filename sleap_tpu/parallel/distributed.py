@@ -59,15 +59,17 @@ def sharded_infer_fn(
     rep = NamedSharding(mesh, P())
 
     traceable = getattr(infer_fn, "__wrapped__", infer_fn)
+    # All positional args are batch-leading (images, gt centroids, masks, ...):
+    # shard each on the data axis; outputs gathered to replicated for the host.
     fn = jax.jit(
         traceable,
-        in_shardings=(batch_sharding,),
+        in_shardings=batch_sharding,
         out_shardings=rep,
     )
 
-    def wrapped(images):
-        images = jax.device_put(images, batch_sharding)
-        return fn(images)
+    def wrapped(*args):
+        args = tuple(jax.device_put(a, batch_sharding) for a in args)
+        return fn(*args)
 
     return wrapped
 
@@ -105,4 +107,21 @@ def sharded_train_step(
         traceable,
         in_shardings=(rep, rep, rep, data, rep),
         out_shardings=(rep, rep, rep, rep),
+    )
+
+
+def sharded_val_step(
+    val_step: Callable, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Shard a trainer val step ``(params, batch_stats, batch, rng) -> loss``."""
+    if mesh is None:
+        mesh = make_mesh()
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    traceable = getattr(val_step, "__wrapped__", val_step)
+    return jax.jit(
+        traceable,
+        in_shardings=(rep, rep, data, rep),
+        out_shardings=rep,
     )

@@ -212,6 +212,9 @@ class Trainer:
     config: TrainingJobConfig
     data_readers: DataReaders
     model: Model
+    # Data-parallel training: shard batches over an n-device mesh (params
+    # replicated, gradient all-reduce inserted by XLA). None/1 = single-device.
+    n_devices: Optional[int] = None
 
     # Filled by setup():
     module: Any = None
@@ -231,6 +234,7 @@ class Trainer:
         training_labels: Any = None,
         validation_labels: Any = None,
         test_labels: Any = None,
+        n_devices: Optional[int] = None,
     ) -> "Trainer":
         head_name = config.model.heads.which_oneof_attrib_name
         trainer_cls = {
@@ -260,7 +264,9 @@ class Trainer:
         model = Model.from_config(
             config.model, skeleton=skeleton, tracks=tracks, update_config=True
         )
-        return trainer_cls(config=config, data_readers=data_readers, model=model)
+        return trainer_cls(
+            config=config, data_readers=data_readers, model=model, n_devices=n_devices
+        )
 
     # ------------------------------------------------------------------ #
     @property
@@ -489,6 +495,23 @@ class Trainer:
         train_step, val_step = self._build_train_step(optimizer)
 
         batch_size = opt_cfg.batch_size
+        if self.n_devices and self.n_devices > 1:
+            from sleap_tpu.parallel.distributed import (
+                sharded_train_step,
+                sharded_val_step,
+            )
+            from sleap_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_devices=self.n_devices)
+            n_data = mesh.shape["data"]
+            # Round up so every batch leaf's leading axis shards evenly.
+            batch_size = -(-batch_size // n_data) * n_data
+            train_step = sharded_train_step(train_step, mesh)
+            val_step = sharded_val_step(val_step, mesh)
+            logger.info(
+                "Data-parallel training over %d devices (batch_size=%d).",
+                self.n_devices, batch_size,
+            )
         n_train = len(self._train_examples)
         batches_per_epoch = opt_cfg.batches_per_epoch or max(
             opt_cfg.min_batches_per_epoch, -(-n_train // batch_size)
