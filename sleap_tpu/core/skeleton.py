@@ -422,6 +422,10 @@ class Skeleton:
             node_list: when nodes are encoded as integer indices (``.slp``
                 style), the shared Node list those indices refer to.
         """
+        # Template-style skeletons wrap the node-link dict in an "nx_graph"
+        # key alongside description/preview_image (reference skeleton.py:344).
+        if "nx_graph" in d:
+            d = d["nx_graph"]
         decoder = _JsonpickleDecoder(node_list)
         skel = cls(name=d.get("graph", {}).get("name"))
         skel._graph.graph["num_edges_inserted"] = d.get("graph", {}).get(

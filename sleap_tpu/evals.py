@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import pickle
 from typing import Any, Dict, List, Optional, Text, Tuple, Union
 
 import numpy as np
@@ -364,10 +365,77 @@ def evaluate_model(
 
 
 def load_metrics(model_path: str, split: str = "val") -> Dict[str, Any]:
-    """Load saved metrics from a model folder (reference evals.py:776)."""
+    """Load saved metrics from a model folder (reference evals.py:776).
+
+    Handles both our own npz files and ones written by the reference TF
+    implementation (whose pickles reference ``sleap.*`` classes that are not
+    installed here — those objects are substituted with structural stubs).
+    """
     if os.path.isdir(model_path):
         metrics_path = os.path.join(model_path, f"metrics.{split}.npz")
     else:
         metrics_path = model_path
-    with np.load(metrics_path, allow_pickle=True) as data:
-        return data["metrics"].item()
+    try:
+        with np.load(metrics_path, allow_pickle=True) as data:
+            return data["metrics"].item()
+    except ModuleNotFoundError:
+        return _load_foreign_metrics(metrics_path)
+
+
+class _ForeignUnpickler(pickle.Unpickler):
+    """Unpickles reference-written metrics without the ``sleap`` package.
+
+    Array subclasses (PointArray etc.) decode as plain ndarray subclasses;
+    other sleap objects become attribute-bag stubs. Numeric metric values
+    are unaffected.
+    """
+
+    _cache: Dict[Any, type] = {}
+
+    def find_class(self, module, name):
+        if module.split(".")[0] == "sleap":
+            key = (module, name)
+            if key not in self._cache:
+                if "Array" in name:
+                    self._cache[key] = type(name, (np.ndarray,), {})
+                else:
+
+                    def _setstate(self, state):
+                        if isinstance(state, dict):
+                            self.__dict__.update(state)
+                        elif (
+                            isinstance(state, tuple)
+                            and len(state) == 2
+                            and isinstance(state[0], (dict, type(None)))
+                        ):
+                            if state[0]:
+                                self.__dict__.update(state[0])
+                            if isinstance(state[1], dict):
+                                self.__dict__.update(state[1])
+                        else:
+                            self.__dict__["_state"] = state
+
+                    self._cache[key] = type(
+                        name,
+                        (),
+                        {
+                            "__setstate__": _setstate,
+                            "__init__": lambda self, *a, **k: None,
+                            "__new__": lambda cls, *a, **k: object.__new__(cls),
+                        },
+                    )
+            return self._cache[key]
+        return super().find_class(module, name)
+
+
+def _load_foreign_metrics(metrics_path: str) -> Dict[str, Any]:
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    with zipfile.ZipFile(metrics_path) as zf:
+        with zf.open("metrics.npy") as f:
+            version = npformat.read_magic(f)
+            npformat._read_array_header(f, version)
+            arr = _ForeignUnpickler(f).load()
+    return arr.item() if hasattr(arr, "item") else arr

@@ -518,6 +518,8 @@ class TopDownPredictor(Predictor):
     def _build_infer_fn(self):
         if self.centroid_model is None:
             return self._build_infer_fn_gt_centroid()
+        if self.confmap_model is None:
+            return self._build_infer_fn_centroid_only()
         K = self._max_peaks
         crop_size = self._crop_size()
         threshold = self.peak_threshold
@@ -605,6 +607,72 @@ class TopDownPredictor(Predictor):
             }
 
         return infer
+
+    def _build_infer_fn_centroid_only(self):
+        """Stage 1 only: centroid detection. Instance points are substituted
+        from ground truth on the host by matching each predicted centroid to
+        the nearest labeled instance (reference
+        ``FindInstancePeaksGroundTruth``, inference.py:812 — used to evaluate
+        centroid models in isolation)."""
+        K = self._max_peaks
+        threshold = self.peak_threshold
+        refinement = "integral" if self.integral_refinement else "local"
+        patch = self.integral_patch_size
+        ctm = self.centroid_model
+        c_stride = self.centroid_config.model.heads.centroid.output_stride
+        c_scale = ctm.input_scale
+        c_pad = self.centroid_config.data.preprocessing.pad_to_stride or ctm.model.maximum_stride
+
+        @jax.jit
+        def infer(images):
+            imgs = _preprocess(images, ctm.grayscale, c_scale, c_pad)
+            out = ctm.module.apply(ctm.variables, imgs, train=False)
+            cms = out[find_head(out, "CentroidConfmapsHead")]
+            off_key = find_head(out, "OffsetRefinementHead")
+            if off_key is not None:
+                peaks, vals, mask = find_local_peaks_with_offsets(
+                    cms, out[off_key], max_peaks=K, threshold=threshold
+                )
+            else:
+                peaks, vals, mask = find_local_peaks(
+                    cms, max_peaks=K, threshold=threshold,
+                    refinement=refinement, integral_patch_size=patch,
+                )
+            centroids = _adjust_peaks(peaks[:, 0], c_stride, c_scale)
+            return {
+                "centroids": jnp.where(mask[:, 0][:, :, None], centroids, jnp.nan),
+                "centroid_vals": jnp.where(mask[:, 0], vals[:, 0], 0.0),
+                "centroid_mask": mask[:, 0],
+            }
+
+        return infer
+
+    def _centroid_only_batches(self, provider):
+        """Batches that carry per-example host GT instances for matching."""
+        buf = []
+        for ex in provider:
+            buf.append(ex)
+            if len(buf) == self.batch_size:
+                yield self._emit_centroid_only_batch(buf)
+                buf = []
+        if buf:
+            yield self._emit_centroid_only_batch(buf)
+
+    def _emit_centroid_only_batch(self, buf):
+        n_valid = len(buf)
+        while len(buf) < self.batch_size:
+            buf.append(buf[-1])
+        batch = {
+            "image": np.stack([ex["image"] for ex in buf]),
+            "video_ind": np.array([ex["video_ind"] for ex in buf]),
+            "frame_ind": np.array([ex["frame_ind"] for ex in buf]),
+            # Host-side ragged list; never shipped to device.
+            "gt_instances": [
+                np.asarray(ex.get("instances", np.zeros((0, 0, 2))), "f4")
+                for ex in buf
+            ],
+        }
+        return batch, n_valid
 
     def _build_infer_fn_gt_centroid(self):
         """Stages 2-3 only, with ground-truth centroids supplied by the host
@@ -717,12 +785,14 @@ class TopDownPredictor(Predictor):
         done = 0
         t0 = time.time()
         gt_mode = self.centroid_model is None
+        centroid_only = self.confmap_model is None and not gt_mode
         target_hw = None if gt_mode else provider_needs_size_matching(provider)
-        batches = (
-            self._gt_centroid_batches(provider)
-            if gt_mode
-            else batch_examples(provider, self.batch_size, target_hw)
-        )
+        if gt_mode:
+            batches = self._gt_centroid_batches(provider)
+        elif centroid_only:
+            batches = self._centroid_only_batches(provider)
+        else:
+            batches = batch_examples(provider, self.batch_size, target_hw)
         for batch, n_valid in prefetch(batches):
             if gt_mode:
                 out = self._infer_fn(
@@ -733,6 +803,8 @@ class TopDownPredictor(Predictor):
             else:
                 out = self._infer_fn(jnp.asarray(batch["image"]))
             ex = {k: np.asarray(v) for k, v in out.items()}
+            if centroid_only:
+                ex["gt_instances"] = batch["gt_instances"]
             if "scale" in batch:
                 s = batch["scale"]
                 ex["instance_peaks"] = ex["instance_peaks"] / s.reshape(-1, 1, 1, 1)
@@ -755,18 +827,37 @@ class TopDownPredictor(Predictor):
             skeleton = self.centroid_config.data.labels.skeletons[0]
         frames = []
         for ex in generator:
+            centroid_only = "gt_instances" in ex
             for i in range(ex["n_valid"]):
                 instances = []
-                for k in range(ex["instance_peaks"].shape[1]):
+                for k in range(ex["centroid_mask"].shape[1]):
                     if not ex["centroid_mask"][i, k]:
                         continue
-                    pts = ex["instance_peaks"][i, k]
+                    if centroid_only:
+                        # GT-peak substitution: nearest labeled instance to
+                        # this centroid by min node distance (reference
+                        # FindInstancePeaksGroundTruth, inference.py:850-883).
+                        gt = ex["gt_instances"][i]
+                        if gt.size == 0:
+                            continue
+                        d = np.linalg.norm(
+                            gt - ex["centroids"][i, k][None, None, :], axis=-1
+                        )
+                        with np.errstate(all="ignore"):
+                            d = np.nanmin(d, axis=-1)  # (n_inst,)
+                        if np.all(np.isnan(d)):
+                            continue
+                        pts = gt[np.nanargmin(d)]
+                        vals = np.ones(pts.shape[0], "f4")
+                    else:
+                        pts = ex["instance_peaks"][i, k]
+                        vals = ex["instance_peak_vals"][i, k]
                     if np.all(np.isnan(pts)):
                         continue
                     instances.append(
                         PredictedInstance.from_arrays(
                             points=pts,
-                            point_confidences=ex["instance_peak_vals"][i, k],
+                            point_confidences=vals,
                             instance_score=float(ex["centroid_vals"][i, k]),
                             skeleton=skeleton,
                         )

