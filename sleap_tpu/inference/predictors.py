@@ -93,7 +93,13 @@ def load_trained_model(model_path: str) -> TrainedModel:
     """
     if model_path.endswith(".zip"):
         model_path = _unpack_zip(model_path)
+    ckpt_override = None
     if model_path.endswith(".json"):
+        model_dir = os.path.dirname(model_path)
+    elif model_path.endswith(".ckpt"):
+        # Direct checkpoint path inside a run folder (latest_model.ckpt,
+        # model.epoch0003.ckpt, ...) — reference training.py:749 semantics.
+        ckpt_override = model_path
         model_dir = os.path.dirname(model_path)
     else:
         model_dir = model_path
@@ -101,10 +107,20 @@ def load_trained_model(model_path: str) -> TrainedModel:
     skeleton = config.data.labels.skeletons[0] if config.data.labels.skeletons else None
     model = Model.from_config(config.model, skeleton=skeleton, update_config=True)
 
-    h5_path = os.path.join(model_dir, "best_model.h5")
-    ckpt_path = os.path.join(model_dir, "best_model.ckpt")
+    h5_path = os.path.join(model_dir, "best_model.h5") if not ckpt_override else ""
+    ckpt_path = ckpt_override or next(
+        (
+            p
+            for p in (
+                os.path.join(model_dir, name)
+                for name in ("best_model.ckpt", "latest_model.ckpt", "final_model.ckpt")
+            )
+            if os.path.isdir(p)
+        ),
+        os.path.join(model_dir, "best_model.ckpt"),
+    )
     in_channels = None
-    if os.path.exists(h5_path):
+    if h5_path and os.path.exists(h5_path):
         from sleap_tpu.io.keras_h5 import read_keras_weights
 
         weights = read_keras_weights(h5_path)
@@ -121,7 +137,7 @@ def load_trained_model(model_path: str) -> TrainedModel:
     module, variables = model.init(
         jax.random.PRNGKey(0), (init_hw, init_hw, in_channels)
     )
-    if os.path.exists(h5_path):
+    if h5_path and os.path.exists(h5_path):
         from sleap_tpu.io.keras_h5 import load_keras_weights_into_variables
 
         variables = load_keras_weights_into_variables(h5_path, variables)

@@ -337,6 +337,9 @@ class Trainer:
         self.run_path = out.run_path
         os.makedirs(self.run_path, exist_ok=True)
         self.config.save_json(os.path.join(self.run_path, "initial_config.json"))
+        # Written up front too (reference training.py:866) so a crashed or
+        # in-progress run folder is loadable for resume-from-latest.
+        self.config.save_json(os.path.join(self.run_path, "training_config.json"))
 
     def _setup_tensorboard(self):
         tb = self.config.outputs.tensorboard
@@ -539,6 +542,18 @@ class Trainer:
         best_val = np.inf
         t_train = time.time()
         stop_requested = False
+        ckpt_cfg = self.config.outputs.checkpointing
+
+        def current_variables():
+            return (
+                {"params": params, "batch_stats": batch_stats}
+                if batch_stats
+                else {"params": params}
+            )
+
+        # train_begin event (reference ModelCheckpointOnEvent, training.py:421).
+        if ckpt_cfg.initial_model:
+            self._save_checkpoint("initial_model.ckpt", current_variables())
         for epoch in range(opt_cfg.epochs):
             if self._zmq_reporter:
                 self._zmq_reporter.epoch_begin(epoch)
@@ -602,18 +617,24 @@ class Trainer:
             if self._zmq_reporter:
                 self._zmq_reporter.epoch_end(epoch, train_loss, val_loss)
 
-            if val_loss < best_val:
+            if val_loss < best_val and ckpt_cfg.best_model:
                 best_val = val_loss
-                self.variables = (
-                    {"params": params, "batch_stats": batch_stats}
-                    if batch_stats
-                    else {"params": params}
-                )
+                self.variables = current_variables()
                 self._save_checkpoint("best_model.ckpt")
+            # epoch_end events (reference training.py:438-451).
+            if ckpt_cfg.every_epoch:
+                self._save_checkpoint(f"model.epoch{epoch:04d}.ckpt", current_variables())
+            if ckpt_cfg.latest_model:
+                self._save_checkpoint("latest_model.ckpt", current_variables())
             if stop_requested or stopper.should_stop(val_loss):
                 logger.info("Early stopping at epoch %d.", epoch + 1)
                 break
 
+        # train_end event (reference training.py:453-458).
+        if ckpt_cfg.final_model:
+            self._save_checkpoint("final_model.ckpt", current_variables())
+        if not ckpt_cfg.best_model:
+            self.variables = current_variables()
         logger.info("Finished training in %.1fs.", time.time() - t_train)
         if self.run_path:
             self.config.save_json(os.path.join(self.run_path, "training_config.json"))
@@ -634,18 +655,29 @@ class Trainer:
             import shutil
 
             shutil.rmtree(os.path.join(self.run_path, "viz"), ignore_errors=True)
+        if self.run_path and self.config.outputs.zip_outputs:
+            self.package()
         if self._zmq_reporter:
             self._zmq_reporter.close()
 
-    def _save_checkpoint(self, name: str) -> None:
+    def _save_checkpoint(self, name: str, variables: Any = None) -> None:
         if not self.run_path:
             return
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.run_path, name))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, self.variables, force=True)
+        ckptr.save(path, variables if variables is not None else self.variables, force=True)
         ckptr.wait_until_finished()
+
+    def package(self) -> None:
+        """Zip the run folder for portability (reference training.py:996-1009)."""
+        if not self.run_path:
+            return
+        import shutil
+
+        logger.info("Packaging run folder: %s.zip", self.run_path)
+        shutil.make_archive(self.run_path, "zip", self.run_path)
 
     def _save_gt_labels(self) -> None:
         try:

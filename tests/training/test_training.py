@@ -164,6 +164,45 @@ def test_train_hourglass_with_batchnorm(tiny_labels, tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_surface_and_resume(tiny_labels, tmp_path):
+    """Full checkpoint-event surface (reference training.py:415-462,996):
+    initial/every-epoch/latest/final checkpoints, run-folder zip, and
+    resume-from-latest via base_checkpoint."""
+    import os
+
+    c = _base_cfg(tmp_path, "ckpts")
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=2, sigma=3.0)
+    ck = c.outputs.checkpointing
+    ck.initial_model = True
+    ck.every_epoch = True
+    ck.latest_model = True
+    ck.final_model = True
+    c.outputs.zip_outputs = True
+    trainer = _run(c, tiny_labels)
+    run = trainer.run_path
+    for name in (
+        "initial_model.ckpt",
+        "model.epoch0000.ckpt",
+        "model.epoch0001.ckpt",
+        "latest_model.ckpt",
+        "final_model.ckpt",
+    ):
+        assert os.path.isdir(os.path.join(run, name)), name
+    assert os.path.exists(run + ".zip")
+
+    # Resume: point base_checkpoint at the latest checkpoint directory.
+    from sleap_tpu.inference.predictors import load_trained_model
+
+    tm = load_trained_model(os.path.join(run, "latest_model.ckpt"))
+    assert tm.variables is not None
+    c2 = _base_cfg(tmp_path, "ckpts_resumed")
+    c2.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=2, sigma=3.0)
+    c2.model.base_checkpoint = os.path.join(run, "latest_model.ckpt")
+    c2.optimization.epochs = 1
+    _run(c2, tiny_labels)
+
+
+@pytest.mark.slow
 def test_train_unet_space_to_depth(tiny_labels, tmp_path):
     """The TPU-native s2d stem trains end-to-end."""
     c = cfg.TrainingJobConfig()
