@@ -184,14 +184,9 @@ class Model:
 
             backbone = HigherHRNet.from_config(backbone_config)
         elif isinstance(backbone_config, cfg.PretrainedEncoderConfig):
-            raise NotImplementedError(
-                "Pretrained encoders (reference "
-                "sleap/nn/architectures/pretrained_encoders.py, built on the "
-                "keras segmentation_models zoo) require downloaded imagenet "
-                "weights, which are unavailable in this offline environment. "
-                "Use the 'resnet' backbone with a locally converted Keras .h5 "
-                "checkpoint (sleap_tpu.io.keras_h5) instead."
-            )
+            from sleap_tpu.models.pretrained_encoder import UnetPretrainedEncoder
+
+            backbone = UnetPretrainedEncoder.from_config(backbone_config)
         elif backbone_config is None:
             raise ValueError("Backbone architecture was not specified.")
         else:
@@ -339,6 +334,8 @@ class Model:
         module = self.make_flax_module(compute_dtype)
         x = jnp.zeros((1, *input_shape), jnp.float32)
         variables = module.init(rng, x, train=False)
+        if hasattr(self.backbone, "init_weights_hook"):
+            variables = self.backbone.init_weights_hook(variables)
         return module, variables
 
 

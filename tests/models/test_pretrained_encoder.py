@@ -1,0 +1,131 @@
+"""UnetPretrainedEncoder backbone tests.
+
+Mirrors reference tests/nn/architectures/test_pretrained_encoders.py: build
+each encoder, run a forward pass, check output strides/shapes; plus the
+local-weight loading hook.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sleap_tpu import config as cfg
+from sleap_tpu.models.model import Model
+from sleap_tpu.models.pretrained_encoder import (
+    AVAILABLE_ENCODERS,
+    UnetPretrainedEncoder,
+    load_local_encoder_weights,
+)
+
+
+def _build(encoder, output_stride=4, decoder_filters=8):
+    mc = cfg.ModelConfig(
+        backbone=cfg.BackboneConfig(
+            pretrained_encoder=cfg.PretrainedEncoderConfig(
+                encoder=encoder,
+                pretrained=False,
+                decoder_filters=decoder_filters,
+                output_stride=output_stride,
+            )
+        ),
+        heads=cfg.HeadsConfig(
+            centroid=cfg.CentroidsHeadConfig(output_stride=output_stride, sigma=2.5)
+        ),
+    )
+    return Model.from_config(mc)
+
+
+@pytest.mark.parametrize("encoder", AVAILABLE_ENCODERS)
+def test_encoder_forward(encoder):
+    model = _build(encoder)
+    assert model.backbone.maximum_stride == 32
+    assert model.backbone.output_stride == 4
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    out = module.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
+    assert out["CentroidConfmapsHead"].shape == (1, 16, 16, 1)
+
+
+def test_output_stride_sets_up_blocks():
+    bb = UnetPretrainedEncoder.from_config(
+        cfg.PretrainedEncoderConfig(
+            encoder="mobilenetv2", output_stride=2, decoder_filters=16,
+            decoder_filters_rate=0.5,
+        )
+    )
+    assert bb.up_blocks == 4
+    assert bb.output_stride == 2
+    assert bb.decoder_filters == (16, 8, 4, 2)
+
+
+def test_efficientnetb0_encoder_param_count():
+    """EfficientNetB0 encoder should be ~4.0M params (keras.applications
+    reports 4,049,571 for the headless feature extractor)."""
+    model = _build("efficientnetb0", decoder_filters=4)
+    _, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    n = sum(
+        int(np.prod(p.shape))
+        for path, p in jax.tree_util.tree_leaves_with_path(variables["params"])
+        if "decoder" not in str(path) and "Head" not in str(path)
+    )
+    assert 3.5e6 < n < 4.5e6, n
+
+
+def test_mobilenetv2_encoder_param_count():
+    """MobileNetV2 feature extractor is ~2.26M params."""
+    model = _build("mobilenetv2", decoder_filters=4)
+    _, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    n = sum(
+        int(np.prod(p.shape))
+        for path, p in jax.tree_util.tree_leaves_with_path(variables["params"])
+        if "decoder" not in str(path) and "Head" not in str(path)
+    )
+    assert 2.0e6 < n < 2.5e6, n
+
+
+def test_local_weight_loading(tmp_path):
+    model = _build("vgg16", decoder_filters=4)
+    module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
+    # Dump one param to an npz and reload it scaled.
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    key = next(k for k in flat if k[0] == "params" and k[-1] == "kernel")
+    name = "/".join(str(p) for p in key[1:])
+    arr = np.ones_like(np.asarray(flat[key])) * 0.123
+    path = str(tmp_path / "w.npz")
+    np.savez(path, **{name: arr})
+    loaded = load_local_encoder_weights(variables, path)
+    got = flax.traverse_util.flatten_dict(loaded)[key]
+    np.testing.assert_allclose(np.asarray(got), arr, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pretrained_encoder_trains(tmp_path):
+    """1-epoch training smoke (VERDICT round-1 item 6 done-criterion)."""
+    from tests.training.test_training import _base_cfg, _run, tiny_labels
+
+    rng = np.random.default_rng(0)
+    c = _base_cfg(tmp_path, "pretrained_smoke")
+    c.model.backbone.unet = None
+    c.model.backbone.pretrained_encoder = cfg.PretrainedEncoderConfig(
+        encoder="mobilenetv2", pretrained=False, decoder_filters=8, output_stride=4
+    )
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=4, sigma=3.0)
+    c.optimization.epochs = 1
+    c.data.preprocessing.pad_to_stride = 32
+    from sleap_tpu.core.instance import Instance, LabeledFrame
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.io.video import Video
+
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    video = Video.from_numpy(rng.integers(0, 255, (4, 64, 64, 1), np.uint8))
+    lfs = [
+        LabeledFrame(
+            video=video, frame_idx=i,
+            instances=[Instance(skeleton=skel, points=rng.uniform(10, 50, (2, 2)))],
+        )
+        for i in range(4)
+    ]
+    _run(c, Labels(lfs))
