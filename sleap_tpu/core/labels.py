@@ -368,15 +368,18 @@ class Labels(MutableSequence):
         video: Optional[Video] = None,
         all_frames: bool = True,
         untracked: bool = False,
+        return_confidence: bool = False,
     ) -> np.ndarray:
-        """(frames, tracks, nodes, 2) array of tracked points.
+        """(frames, tracks, nodes, 2) array of tracked points; with
+        ``return_confidence`` the last axis is 3 (x, y, point score).
 
         Reference analog: dataset.py ``Labels.numpy``.
         """
         video = video or self.video
         lfs = self.find(video)
+        n_cols = 3 if return_confidence else 2
         if not lfs:
-            return np.zeros((0, 0, 0, 2))
+            return np.zeros((0, 0, 0, n_cols))
         first_idx = 0 if all_frames else min(lf.frame_idx for lf in lfs)
         last_idx = max(lf.frame_idx for lf in lfs)
         n_frames = last_idx - first_idx + 1
@@ -387,16 +390,23 @@ class Labels(MutableSequence):
         else:
             tracks = [t for t in self.tracks]
             n_tracks = len(tracks)
-        out = np.full((n_frames, n_tracks, n_nodes, 2), np.nan, dtype="f8")
+        out = np.full((n_frames, n_tracks, n_nodes, n_cols), np.nan, dtype="f8")
+
+        def fill(fi, j, inst):
+            out[fi, j, :, :2] = inst.numpy()
+            if return_confidence:
+                scores = getattr(inst, "scores", None)
+                out[fi, j, :, 2] = scores if scores is not None else 0.0
+
         for lf in lfs:
             fi = lf.frame_idx - first_idx
             if untracked:
                 for j, inst in enumerate(lf.instances[:n_tracks]):
-                    out[fi, j] = inst.numpy()
+                    fill(fi, j, inst)
             else:
                 for inst in lf.instances:
                     if inst.track is not None and inst.track in tracks:
-                        out[fi, tracks.index(inst.track)] = inst.numpy()
+                        fill(fi, tracks.index(inst.track), inst)
         return out
 
     # ------------------------------------------------------------------ #
@@ -450,15 +460,26 @@ def _labels_export_csv(self, filename: str) -> None:
 
 
 def _labels_export_nwb(self, filename: str, **kwargs) -> None:
-    """NWB export requires pynwb/ndx-pose (not available offline)."""
-    raise NotImplementedError(
-        "NWB export requires pynwb and ndx-pose, which are not installed in "
-        "this environment. Use export(.analysis.h5/.csv) or .slp instead."
-    )
+    """NWB export (reference dataset.py Labels.export_nwb -> NDXPoseAdaptor).
+
+    The logic lives in :mod:`sleap_tpu.io.formats.ndx_pose`; only the pynwb
+    import is gated there.
+    """
+    from sleap_tpu.io.formats import ndx_pose
+
+    ndx_pose.write_labels(filename, self, **kwargs)
+
+
+def _labels_export_nix(self, filename: str, video=None, **kwargs) -> None:
+    """NIX (nixtrack) export (reference nix.py NixAdaptor.write)."""
+    from sleap_tpu.io.formats import nix
+
+    nix.write_labels(filename, self, video=video, **kwargs)
 
 
 Labels.export_csv = _labels_export_csv
 Labels.export_nwb = _labels_export_nwb
+Labels.export_nix = _labels_export_nix
 
 
 def _labels_merge(self, other: "Labels") -> None:

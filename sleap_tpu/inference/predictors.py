@@ -906,8 +906,19 @@ def load_model(
 ) -> Predictor:
     """Load trained model(s) as a ready-to-use predictor.
 
-    Mirrors ``sleap.load_model`` (reference inference.py:4865).
+    Mirrors ``sleap.load_model`` (reference inference.py:4865), including the
+    ``"movenet-lightning"`` / ``"movenet-thunder"`` special cases (a local
+    SavedModel dir may be appended as ``movenet-lightning:<path>``).
     """
+    if isinstance(model_path, str) and model_path.startswith("movenet-"):
+        from sleap_tpu.inference.movenet import MoveNetPredictor
+
+        name, _, local = model_path[len("movenet-"):].partition(":")
+        return MoveNetPredictor.from_trained_models(
+            model_name=name,
+            model_path=local or None,
+            peak_threshold=peak_threshold,
+        )
     predictor = Predictor.from_model_paths(
         model_path,
         peak_threshold=peak_threshold,

@@ -37,6 +37,14 @@ def convert(
         out = output_path or (os.path.splitext(input_path)[0] + f".{output_format}")
         labels.save(out, with_images=(output_format == "pkg.slp"))
         return out
+    if output_format == "nwb":
+        out = output_path or (os.path.splitext(input_path)[0] + ".nwb")
+        labels.export_nwb(out)
+        return out
+    if output_format == "nix":
+        out = output_path or (os.path.splitext(input_path)[0] + ".nix")
+        labels.export_nix(out)
+        return out
     raise ValueError(f"Unsupported output format: {output_format!r}.")
 
 

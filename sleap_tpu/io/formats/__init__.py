@@ -51,14 +51,13 @@ def read(filename: str, for_object: str = "labels", as_format: Optional[str] = N
 
         return labels_json.read_labels(filename, **kwargs)
     if fmt == "nwb":
-        raise NotImplementedError(
-            "NWB import requires pynwb/ndx-pose, which are not available in "
-            "this environment."
-        )
+        from sleap_tpu.io.formats import ndx_pose
+
+        return ndx_pose.read_labels(filename, **kwargs)
     if fmt == "nix":
-        raise NotImplementedError(
-            "NIX export requires the nixio package, which is not available "
-            "in this environment (reference sleap/io/format/nix.py)."
+        raise ValueError(
+            "The NIX adaptor is write-only (reference nix.py:75); use "
+            "Labels.export_nix() to write."
         )
     if fmt == "genericjson":
         return read_json(filename)

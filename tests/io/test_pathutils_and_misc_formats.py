@@ -63,10 +63,11 @@ def test_generic_text_roundtrip(tmp_path):
     assert formats.read(p) == "hello\n"
 
 
-def test_nix_gated(tmp_path):
+def test_nix_read_is_write_only(tmp_path):
+    """NIX is write-only (reference nix.py:75); read raises ValueError."""
     p = tmp_path / "out.nix"
     p.write_bytes(b"")
-    with pytest.raises(NotImplementedError, match="nixio"):
+    with pytest.raises(ValueError, match="write-only"):
         formats.read(str(p))
 
 
@@ -75,17 +76,22 @@ def test_imgstore_gated():
         ImgStoreVideo(filename="/tmp/whatever")
 
 
-def test_pretrained_encoder_gated():
+def test_pretrained_encoder_builds():
+    """Pretrained-encoder backbones are first-class now (round 2); only an
+    unknown encoder name raises."""
     import sleap_tpu.config as cfg
     from sleap_tpu.models.model import Model
 
     c = cfg.ModelConfig(
         backbone=cfg.BackboneConfig(
-            pretrained_encoder=cfg.PretrainedEncoderConfig()
+            pretrained_encoder=cfg.PretrainedEncoderConfig(encoder="resnet18")
         ),
-        heads=cfg.HeadsConfig(),
+        heads=cfg.HeadsConfig(centroid=cfg.CentroidsHeadConfig()),
     )
-    with pytest.raises(NotImplementedError, match="Pretrained encoders"):
+    model = Model.from_config(c)
+    assert model.backbone.maximum_stride == 32
+    c.backbone.pretrained_encoder.encoder = "senet154"
+    with pytest.raises(ValueError, match="Unsupported encoder"):
         Model.from_config(c)
 
 
