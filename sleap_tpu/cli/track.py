@@ -59,6 +59,23 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tracking.img_scale", dest="tracking_img_scale", type=float, default=1.0)
     parser.add_argument("--tracking.of_window_size", dest="tracking_of_window_size", type=int, default=21)
     parser.add_argument("--tracking.of_max_levels", dest="tracking_of_max_levels", type=int, default=3)
+    # Full reference auto-generated surface (inference.py:5539): robust
+    # quantile, pre-cull, cleaning IoU, shifted-instance saving, OKS options,
+    # and Kalman-filter init (reference exposes kf via tracking.kf_*).
+    parser.add_argument("--tracking.robust", dest="tracking_robust", type=float, default=1.0,
+                        help="Robust quantile of similarity scores (1.0 = max).")
+    parser.add_argument("--tracking.save_shifted_instances", dest="tracking_save_shifted_instances", type=int, default=0)
+    parser.add_argument("--tracking.pre_cull_to_target", dest="tracking_pre_cull_to_target", type=int, default=0)
+    parser.add_argument("--tracking.pre_cull_iou_threshold", dest="tracking_pre_cull_iou_threshold", type=float, default=None)
+    parser.add_argument("--tracking.clean_iou_threshold", dest="tracking_clean_iou_threshold", type=float, default=None)
+    parser.add_argument("--tracking.oks_errors", dest="tracking_oks_errors", default=None,
+                        help="Comma-separated per-node errors for object_keypoint similarity.")
+    parser.add_argument("--tracking.oks_score_weighting", dest="tracking_oks_score_weighting", type=int, default=0)
+    parser.add_argument("--tracking.oks_normalization", dest="tracking_oks_normalization", default="all")
+    parser.add_argument("--tracking.kf_init_frame_count", dest="tracking_kf_init_frame_count", type=int, default=0,
+                        help="If >0, run Kalman filters initialized from this many tracked frames.")
+    parser.add_argument("--tracking.kf_node_indices", dest="tracking_kf_node_indices", default=None,
+                        help="Comma-separated node indices to use for Kalman filtering.")
     return parser
 
 
@@ -152,6 +169,24 @@ def make_tracker_from_cli(ns):
         target_instance_count=ns.tracking_target_instance_count,
         post_connect_single_breaks=bool(ns.tracking_post_connect_single_breaks),
         clean_instance_count=ns.tracking_clean_instance_count,
+        robust=ns.tracking_robust,
+        save_shifted_instances=bool(ns.tracking_save_shifted_instances),
+        pre_cull_to_target=bool(ns.tracking_pre_cull_to_target),
+        pre_cull_iou_threshold=ns.tracking_pre_cull_iou_threshold,
+        clean_iou_threshold=ns.tracking_clean_iou_threshold,
+        oks_errors=(
+            [float(v) for v in ns.tracking_oks_errors.split(",")]
+            if ns.tracking_oks_errors
+            else None
+        ),
+        oks_score_weighting=bool(ns.tracking_oks_score_weighting),
+        oks_normalization=ns.tracking_oks_normalization,
+        kf_init_frame_count=ns.tracking_kf_init_frame_count,
+        kf_node_indices=(
+            [int(v) for v in ns.tracking_kf_node_indices.split(",")]
+            if ns.tracking_kf_node_indices
+            else None
+        ),
     )
 
 

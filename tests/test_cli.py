@@ -78,6 +78,62 @@ def test_sleap_track_cli_with_tracking(tmp_path):
 
 
 @pytest.mark.slow
+def test_sleap_track_cli_full_tracking_surface(tmp_path):
+    """Exercise the auto-generated-style flag surface (reference
+    inference.py:5539): robust quantile, pre-cull, clean IoU, OKS options,
+    and Kalman-filter flags all reach the tracker factory."""
+    model = _require(os.path.join(MODELS, "minimal_instance.UNet.bottomup"))
+    video = _require("/root/reference/tests/data/videos/centered_pair_small.mp4")
+    out = str(tmp_path / "tracked_full.slp")
+
+    from sleap_tpu.cli.track import main
+
+    main(
+        [
+            video,
+            "-m", model,
+            "-o", out,
+            "--frames", "0-3",
+            "--verbosity", "none",
+            "--tracking.tracker", "simple",
+            "--tracking.similarity", "object_keypoint",
+            "--tracking.oks_errors", "1.0,1.0",
+            "--tracking.oks_score_weighting", "1",
+            "--tracking.match", "greedy",
+            "--tracking.robust", "0.95",
+            "--tracking.target_instance_count", "2",
+            "--tracking.pre_cull_to_target", "1",
+            "--tracking.pre_cull_iou_threshold", "0.8",
+            "--tracking.clean_instance_count", "2",
+            "--tracking.clean_iou_threshold", "0.8",
+        ]
+    )
+    import sleap_tpu
+
+    labels = sleap_tpu.load_file(out)
+    assert len(labels) == 4
+
+
+def test_sleap_track_cli_kf_flags_build_kalman_tracker():
+    """kf flags on sleap-track produce a KalmanTracker wrapper."""
+    from sleap_tpu.cli.track import make_parser, make_tracker_from_cli
+    from sleap_tpu.tracking.kalman import KalmanTracker
+
+    ns = make_parser().parse_args(
+        [
+            "x.mp4",
+            "-m", "m",
+            "--tracking.tracker", "flow",
+            "--tracking.kf_init_frame_count", "3",
+            "--tracking.kf_node_indices", "0,1",
+            "--tracking.target_instance_count", "2",
+        ]
+    )
+    tracker = make_tracker_from_cli(ns)
+    assert isinstance(tracker, KalmanTracker)
+
+
+@pytest.mark.slow
 def test_sleap_train_cli_e2e(tmp_path):
     """sleap-train on a profile JSON + labels path produces a run folder."""
     import sleap_tpu
