@@ -514,9 +514,14 @@ class Video:
     def __eq__(self, other) -> bool:
         if not isinstance(other, Video):
             return NotImplemented
-        return type(self.backend) is type(other.backend) and getattr(
-            self.backend, "filename", None
-        ) == getattr(other.backend, "filename", None)
+        if type(self.backend) is not type(other.backend):
+            return False
+        fn_a = getattr(self.backend, "filename", None)
+        fn_b = getattr(other.backend, "filename", None)
+        if isinstance(fn_a, np.ndarray) or isinstance(fn_b, np.ndarray):
+            # Numpy-backed videos: identity, not elementwise comparison.
+            return fn_a is fn_b
+        return fn_a == fn_b
 
     def __hash__(self) -> int:
         return id(self)

@@ -100,25 +100,120 @@ class DataReaders:
         return cls(training_labels=training, validation_labels=validation, test_labels=test)
 
 
-def preload_examples(labels: Labels, max_instances: int) -> List[Dict[str, np.ndarray]]:
+def size_match_image(
+    img: np.ndarray, target_hw: Tuple[int, int]
+) -> Tuple[np.ndarray, float]:
+    """Host-side SizeMatcher transform (reference data/resizing.py:257):
+    scale to fit inside (th, tw), pad bottom/right. Points map as
+    ``pts * scale``. Returns (matched image, scale)."""
+    th, tw = target_hw
+    h, w = img.shape[0], img.shape[1]
+    if (h, w) == (th, tw):
+        return img, 1.0
+    scale = min(th / h, tw / w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    if (new_h, new_w) != (h, w):
+        import cv2
+
+        resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+        if resized.ndim == 2:
+            resized = resized[..., None]
+    else:
+        resized = img
+    out = np.zeros((th, tw) + img.shape[2:], img.dtype)
+    out[:new_h, :new_w] = resized
+    return out, scale
+
+
+def build_example(
+    lf, labels: Labels, max_instances: int, target_hw: Optional[Tuple[int, int]] = None
+) -> Optional[Dict[str, np.ndarray]]:
+    """Decode one labeled frame into a training example dict (or None)."""
+    insts = lf.training_instances
+    if not insts:
+        return None
+    try:
+        img = lf.image
+    except Exception:
+        return None
+    scale = 1.0
+    if target_hw is not None:
+        img, scale = size_match_image(np.asarray(img), target_hw)
+    pts = np.full((max_instances, insts[0].skeleton.n_nodes, 2), np.nan, "f4")
+    tracks = np.full(max_instances, -1, "i4")
+    for i, inst in enumerate(insts[:max_instances]):
+        pts[i] = inst.numpy() * scale
+        if inst.track is not None and inst.track in labels.tracks:
+            tracks[i] = labels.tracks.index(inst.track)
+    return {"image": img, "instances": pts, "track_inds": tracks}
+
+
+def preload_examples(
+    labels: Labels,
+    max_instances: int,
+    target_hw: Optional[Tuple[int, int]] = None,
+) -> List[Dict[str, np.ndarray]]:
     """Decode all labeled frames into memory (reference Preloader)."""
     examples = []
     for lf in labels.labeled_frames:
-        insts = lf.training_instances
-        if not insts:
-            continue
-        try:
-            img = lf.image
-        except Exception:
-            continue
-        pts = np.full((max_instances, insts[0].skeleton.n_nodes, 2), np.nan, "f4")
-        tracks = np.full(max_instances, -1, "i4")
-        for i, inst in enumerate(insts[:max_instances]):
-            pts[i] = inst.numpy()
-            if inst.track is not None and inst.track in labels.tracks:
-                tracks[i] = labels.tracks.index(inst.track)
-        examples.append({"image": img, "instances": pts, "track_inds": tracks})
+        ex = build_example(lf, labels, max_instances, target_hw)
+        if ex is not None:
+            examples.append(ex)
     return examples
+
+
+class LazyExamples:
+    """Streaming alternative to preloading (reference preload_data=False):
+    frames are decoded on access instead of held in RAM — the right mode for
+    projects too large to preload (the reference's ``Preloader`` is optional
+    for the same reason)."""
+
+    def __init__(
+        self,
+        labels: Labels,
+        max_instances: int,
+        target_hw: Optional[Tuple[int, int]] = None,
+    ):
+        self.labels = labels
+        self.max_instances = max_instances
+        self.target_hw = target_hw
+        self._lfs = [lf for lf in labels.labeled_frames if lf.training_instances]
+
+    def __len__(self) -> int:
+        return len(self._lfs)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        ex = build_example(
+            self._lfs[i], self.labels, self.max_instances, self.target_hw
+        )
+        if ex is None:
+            raise RuntimeError(
+                f"Failed to decode frame {self._lfs[i].frame_idx} while streaming."
+            )
+        return ex
+
+    def expand_instances(self) -> "LazyInstanceExamples":
+        """Per-instance flat view (crop trainers) without decoding frames."""
+        return LazyInstanceExamples(self)
+
+
+class LazyInstanceExamples:
+    """Flat (frame, instance) indexing over :class:`LazyExamples`."""
+
+    def __init__(self, base: LazyExamples):
+        self.base = base
+        self._index = [
+            (fi, ci)
+            for fi, lf in enumerate(base._lfs)
+            for ci in range(min(len(lf.training_instances), base.max_instances))
+        ]
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        fi, ci = self._index[i]
+        return {**self.base[fi], "ctr_ind": ci}
 
 
 def find_instance_crop_size(
@@ -304,13 +399,34 @@ class Trainer:
             default=1,
         ) or 1
         self._input_channels = self._image_channels()
-        self._train_examples = preload_examples(
-            self.data_readers.training_labels, self._max_instances
+        # Mixed-size projects: size-match every frame to the largest video
+        # (reference SizeMatcher in training pipelines, data/resizing.py:257).
+        sizes = {
+            (int(v.height), int(v.width))
+            for labels in (
+                self.data_readers.training_labels,
+                self.data_readers.validation_labels,
+            )
+            for v in labels.videos
+            if v.height and v.width
+        }
+        target_hw = (
+            (max(h for h, _ in sizes), max(w for _, w in sizes))
+            if len(sizes) > 1
+            else None
         )
-        self._val_examples = preload_examples(
-            self.data_readers.validation_labels, self._max_instances
+        maker = (
+            preload_examples
+            if self.config.optimization.preload_data
+            else LazyExamples
         )
-        if not self._train_examples:
+        self._train_examples = maker(
+            self.data_readers.training_labels, self._max_instances, target_hw
+        )
+        self._val_examples = maker(
+            self.data_readers.validation_labels, self._max_instances, target_hw
+        )
+        if not len(self._train_examples):
             raise ValueError("No trainable examples found.")
         max_stride = self.model.maximum_stride
         init_hw = max(4 * max_stride, 32)
@@ -830,19 +946,22 @@ class CentroidTrainer(_FullFrameBatchMixin, Trainer):
 class _InstanceCropBatchMixin:
     """Instance-level examples: (frame, instance index) pairs."""
 
+    @staticmethod
+    def expand_examples(examples):
+        """Expand frame examples into per-instance examples."""
+        if isinstance(examples, LazyExamples):
+            return examples.expand_instances()
+        out = []
+        for ex in examples:
+            n = int((~np.isnan(ex["instances"][..., 0]).all(axis=-1)).sum())
+            for i in range(n):
+                out.append({**ex, "ctr_ind": i})
+        return out
+
     def setup(self):
         super().setup()
-        # Expand frame examples into per-instance examples.
-        def expand(examples):
-            out = []
-            for ex in examples:
-                n = int((~np.isnan(ex["instances"][..., 0]).all(axis=-1)).sum())
-                for i in range(n):
-                    out.append({**ex, "ctr_ind": i})
-            return out
-
-        self._train_examples = expand(self._train_examples)
-        self._val_examples = expand(self._val_examples)
+        self._train_examples = self.expand_examples(self._train_examples)
+        self._val_examples = self.expand_examples(self._val_examples)
 
     def make_batch(self, examples, rng):
         return {

@@ -202,6 +202,67 @@ def test_checkpoint_surface_and_resume(tiny_labels, tmp_path):
     _run(c2, tiny_labels)
 
 
+@pytest.fixture
+def mixed_size_labels():
+    """Two videos with different resolutions in one project."""
+    rng = np.random.default_rng(1)
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    video_small = Video.from_numpy(rng.integers(0, 255, (3, 48, 48, 1), np.uint8))
+    video_big = Video.from_numpy(rng.integers(0, 255, (3, 64, 96, 1), np.uint8))
+    lfs = []
+    for i in range(3):
+        lfs.append(
+            LabeledFrame(
+                video=video_small, frame_idx=i,
+                instances=[Instance(skeleton=skel, points=rng.uniform(5, 40, (2, 2)))],
+            )
+        )
+        lfs.append(
+            LabeledFrame(
+                video=video_big, frame_idx=i,
+                instances=[Instance(skeleton=skel, points=rng.uniform(5, 60, (2, 2)))],
+            )
+        )
+    return Labels(lfs)
+
+
+@pytest.mark.slow
+def test_train_mixed_size_videos(mixed_size_labels, tmp_path):
+    """Mixed-resolution projects size-match to the largest video
+    (reference SizeMatcher, data/resizing.py:257) instead of crashing."""
+    c = _base_cfg(tmp_path, "mixed")
+    c.model.heads.single_instance = cfg.SingleInstanceConfmapsHeadConfig(
+        output_stride=2, sigma=3.0
+    )
+    trainer = _run(c, mixed_size_labels)
+    # Every cached example was matched to (64, 96).
+    shapes = {e["image"].shape for e in trainer._train_examples}
+    assert shapes == {(64, 96, 1)}
+
+
+def test_size_match_scales_points():
+    from sleap_tpu.training.trainer import size_match_image
+
+    img = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48, 1)
+    out, scale = size_match_image(img, (64, 96))
+    assert out.shape == (64, 96, 1)
+    assert scale == pytest.approx(64 / 48)
+    # Padding region is zero.
+    assert out[:, 64:].sum() == 0
+
+
+@pytest.mark.slow
+def test_train_streaming_no_preload(tiny_labels, tmp_path):
+    """preload_data=False streams frames by decoding on access."""
+    from sleap_tpu.training.trainer import LazyExamples
+
+    c = _base_cfg(tmp_path, "streaming")
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=2, sigma=3.0)
+    c.optimization.preload_data = False
+    trainer = _run(c, tiny_labels)
+    assert isinstance(trainer._train_examples, LazyExamples)
+
+
 @pytest.mark.slow
 def test_train_unet_space_to_depth(tiny_labels, tmp_path):
     """The TPU-native s2d stem trains end-to-end."""
