@@ -131,15 +131,64 @@ class FeatureSuggestionPipeline:
         return suggestions
 
 
+def _suggest_one_video(args) -> List[tuple]:
+    """Process-pool worker: run the pipeline on one video, return serialized
+    (video_idx, frame_idx, group) tuples (reference ParallelFeaturePipeline.get)."""
+    pipeline_kwargs, video_idx, filename, video_kwargs = args
+    pipeline = FeatureSuggestionPipeline(**pipeline_kwargs)
+    video = Video.from_filename(filename, **video_kwargs)
+    suggestions = pipeline.get_suggestion_frames(
+        [video], group_offset=video_idx * pipeline.n_clusters
+    )
+    return [(video_idx, s.frame_idx, s.group) for s in suggestions]
+
+
 class ParallelFeaturePipeline:
-    """Per-video pipeline execution (reference :630 uses multiprocessing; a
-    sequential fallback is used here — feature extraction is cv2-bound)."""
+    """Per-video process-pool parallelization of the suggestion pipeline
+    (reference feature_suggestions.py:630). Videos are serialized by
+    filename, each worker runs the full sample->featurize->PCA->k-means
+    chain for its video, and the parent reassembles ``SuggestionFrame``s.
+    Videos without an on-disk backing (numpy-backed) fall back to in-process
+    execution."""
 
     @classmethod
-    def run(cls, pipeline: FeatureSuggestionPipeline, videos: List[Video]):
-        suggestions = []
+    def run(
+        cls,
+        pipeline: FeatureSuggestionPipeline,
+        videos: List[Video],
+        parallel: bool = True,
+    ) -> List[SuggestionFrame]:
+        pipeline_kwargs = attr.asdict(pipeline)
+        jobs, serial_idxs = [], []
         for vi, video in enumerate(videos):
+            fn = getattr(video.backend, "filename", None)
+            if parallel and isinstance(fn, str):
+                kwargs = {}
+                dataset = getattr(video.backend, "dataset", None)
+                if dataset:
+                    kwargs["dataset"] = dataset
+                jobs.append((pipeline_kwargs, vi, fn, kwargs))
+            else:
+                serial_idxs.append(vi)
+
+        tuples: List[tuple] = []
+        if jobs:
+            if len(jobs) == 1:
+                tuples.extend(_suggest_one_video(jobs[0]))
+            else:
+                from multiprocessing import Pool
+
+                with Pool(processes=min(len(jobs), 4)) as pool:
+                    for result in pool.map(_suggest_one_video, jobs):
+                        tuples.extend(result)
+        suggestions = [
+            SuggestionFrame(video=videos[vi], frame_idx=fi, group=g)
+            for vi, fi, g in tuples
+        ]
+        for vi in serial_idxs:
             suggestions.extend(
-                pipeline.get_suggestion_frames([video], group_offset=vi * 1000)
+                pipeline.get_suggestion_frames(
+                    [videos[vi]], group_offset=vi * pipeline.n_clusters
+                )
             )
         return suggestions
