@@ -670,6 +670,13 @@ class Trainer:
         # train_begin event (reference ModelCheckpointOnEvent, training.py:421).
         if ckpt_cfg.initial_model:
             self._save_checkpoint("initial_model.ckpt", current_variables())
+        # Profiling (reference TensorBoardConfig.profile_graph): trace the
+        # first epoch with the JAX profiler (XLA device + host timelines,
+        # viewable in TensorBoard / Perfetto).
+        profile_dir = None
+        if self.config.outputs.tensorboard.profile_graph and self.run_path:
+            profile_dir = os.path.join(self.run_path, "profile")
+            jax.profiler.start_trace(profile_dir)
         for epoch in range(opt_cfg.epochs):
             if self._zmq_reporter:
                 self._zmq_reporter.epoch_begin(epoch)
@@ -730,6 +737,10 @@ class Trainer:
                 "Epoch %d/%d - loss: %.6f - val_loss: %.6f (%.1fs)",
                 epoch + 1, opt_cfg.epochs, train_loss, val_loss, time.time() - t0,
             )
+            if profile_dir is not None and epoch == 0:
+                jax.profiler.stop_trace()
+                logger.info("Saved first-epoch profiler trace to %s", profile_dir)
+                profile_dir = None
             if self._zmq_reporter:
                 self._zmq_reporter.epoch_end(epoch, train_loss, val_loss)
 

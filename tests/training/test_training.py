@@ -202,6 +202,27 @@ def test_checkpoint_surface_and_resume(tiny_labels, tmp_path):
     _run(c2, tiny_labels)
 
 
+@pytest.mark.slow
+def test_profile_graph_writes_trace(tiny_labels, tmp_path):
+    """TensorBoardConfig.profile_graph captures a first-epoch JAX profiler
+    trace into <run>/profile."""
+    import os
+
+    c = _base_cfg(tmp_path, "profiled")
+    c.model.heads.centroid = cfg.CentroidsHeadConfig(output_stride=2, sigma=3.0)
+    c.outputs.tensorboard.profile_graph = True
+    trainer = _run(c, tiny_labels)
+    profile_dir = os.path.join(trainer.run_path, "profile")
+    assert os.path.isdir(profile_dir)
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(profile_dir)
+        for f in fs
+        if f.endswith((".trace.json.gz", ".xplane.pb", ".json.gz"))
+    ]
+    assert found, "no profiler trace files written"
+
+
 @pytest.fixture
 def mixed_size_labels():
     """Two videos with different resolutions in one project."""
