@@ -1,24 +1,27 @@
-"""Benchmark: top-down inference FPS at 1024x1024 on one chip.
+"""Benchmarks: the five BASELINE.json configs on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference claims "up to 600+ FPS" batch inference at 1024px
-top-down on a consumer GPU (/root/reference/README.rst:55).
+Prints one JSON line per config: {"metric", "value", "unit", "vs_baseline"}.
+The headline (top-down batch FPS @1024², the reference's "up to 600+ FPS"
+claim, /root/reference/README.rst:55) is printed FIRST.
 
-The benchmarked computation is the full fused top-down path on-chip:
-uint8 batch -> normalize -> centroid UNet (stride 16) -> local peak NMS +
-integral refinement -> bilinear crops -> centered-instance UNet -> global
-peaks + offset adjustment. Weights are synthetic (throughput is
-weight-independent); compute dtype is bfloat16 (MXU-native).
+Configs (BASELINE.json.configs):
+1. single-instance UNet confmaps + global peaks (192², batch 4)
+2. top-down two-stage @1024² (centroid 0.25x + centered-instance, batch 16)
+   -- plus the batch-1 realtime latency variant (<5 ms target)
+3. bottom-up multi-instance @1024²: multi-peak + PAF line scoring + on-chip
+   LAP matching (3 animals, 13 nodes)
+5. end-to-end flow tracking over a 1000-frame clip: device scan runs
+   inference + Lucas-Kanade flow shifts; the host matches identities from
+   the tiny per-frame arrays (the TPU-native split of the reference's
+   FlowTracker).
 
-Workload: 13-node skeleton (flies13-like), up to 4 instances per frame
-(the reference's headline figure is on 2-fly video), 160px crops, centroid
-stage at 0.25 scale — the reference's standard fast top-down configuration.
-
-Measurement methodology: synthetic frames are generated ON DEVICE (no
-host->HBM transfer in the timed region) and N iterations are chained inside
-one jitted lax.fori_loop with a data dependency between iterations, so the
-wall time divided by N is the true per-batch device time regardless of
-dispatch/sync behavior of the runtime.
+Measurement methodology (see CLAUDE.md): frames are generated ON DEVICE (the
+axon tunnel moves ~10 MB/s — any host transfer in the timed region would
+swamp the numbers) and iterations are chained inside one jitted
+``lax.fori_loop`` with a data dependency threaded through one input pixel,
+so wall time / N is true per-batch device time. Each fori iteration carries
+~0.7-1.0 ms of fixed runtime overhead; latency-style numbers amortize it by
+chaining multiple applications of the op-under-test inside one iteration.
 """
 
 import json
@@ -30,138 +33,376 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
 )
 
-BATCH = 16
 IMG = 1024
 CROP = 160
-MAX_INSTANCES = 4
-N_ITERS = 30
+N_NODES = 13
 BASELINE_FPS = 600.0
+BASELINE_LATENCY_MS = 5.0
 
 
-def build_predictor():
+# --------------------------------------------------------------------------- #
+# Model builders (synthetic weights; throughput is weight-independent)
+# --------------------------------------------------------------------------- #
+
+
+def _make_trained(model_cfg, input_hw, dtype, input_scaling=1.0, crop=CROP):
     from sleap_tpu.config import (
-        BackboneConfig,
-        CenteredInstanceConfmapsHeadConfig,
-        CentroidsHeadConfig,
         DataConfig,
-        HeadsConfig,
         InstanceCroppingConfig,
-        ModelConfig,
         PreprocessingConfig,
         TrainingJobConfig,
-        UNetConfig,
     )
-    from sleap_tpu.inference.predictors import TopDownPredictor, TrainedModel
+    from sleap_tpu.inference.predictors import TrainedModel
     from sleap_tpu.models.model import Model
 
-    def make_trained(model_cfg, input_hw, dtype, input_scaling=1.0):
-        cfg = TrainingJobConfig(
-            model=model_cfg,
-            data=DataConfig(
-                preprocessing=PreprocessingConfig(
-                    input_scaling=input_scaling, pad_to_stride=16
-                ),
-                instance_cropping=InstanceCroppingConfig(crop_size=CROP),
+    cfg = TrainingJobConfig(
+        model=model_cfg,
+        data=DataConfig(
+            preprocessing=PreprocessingConfig(
+                input_scaling=input_scaling, pad_to_stride=16
             ),
-        )
-        model = Model.from_config(model_cfg)
-        module = model.make_flax_module(compute_dtype=dtype)
-        variables = module.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, input_hw, input_hw, 1)), train=False
-        )
-        return TrainedModel(
-            config=cfg, model=model, module=module, variables=variables, input_channels=1
-        )
-
-    # TPU-native configs mirroring the reference's standard top-down profiles
-    # (baseline.centroid.json / baseline_medium_rf.topdown.json: UNet
-    # max_stride 16, up_interpolate true, centered-instance output_stride 4),
-    # with the space-to-depth stem so early convs run MXU-wide instead of at
-    # 1-channel (capacity-matched: filters scale with the folded pixels).
-    centroid_cfg = ModelConfig(
-        backbone=BackboneConfig(
-            unet=UNetConfig(
-                max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
-                up_interpolate=True, space_to_depth=4,
-            )
+            instance_cropping=InstanceCroppingConfig(crop_size=crop),
         ),
-        heads=HeadsConfig(centroid=CentroidsHeadConfig(output_stride=4, sigma=2.5)),
     )
-    instance_cfg = ModelConfig(
+    model = Model.from_config(model_cfg)
+    module = model.make_flax_module(compute_dtype=dtype)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, input_hw, input_hw, 1)), train=False
+    )
+    return TrainedModel(
+        config=cfg, model=model, module=module, variables=variables, input_channels=1
+    )
+
+
+def _unet_cfg(head_builder, s2d=4):
+    """Reference-standard fast UNet (baseline profiles: max_stride 16,
+    up_interpolate, output stride 4) with the TPU-native s2d stem."""
+    from sleap_tpu.config import BackboneConfig, ModelConfig, UNetConfig
+
+    return ModelConfig(
         backbone=BackboneConfig(
             unet=UNetConfig(
                 max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
-                up_interpolate=True, space_to_depth=4,
+                up_interpolate=True, space_to_depth=s2d,
             )
         ),
-        heads=HeadsConfig(
+        heads=head_builder(),
+    )
+
+
+def build_topdown_predictor(batch):
+    from sleap_tpu.config import (
+        CenteredInstanceConfmapsHeadConfig,
+        CentroidsHeadConfig,
+        HeadsConfig,
+    )
+    from sleap_tpu.inference.predictors import TopDownPredictor
+
+    centroid_cfg = _unet_cfg(
+        lambda: HeadsConfig(centroid=CentroidsHeadConfig(output_stride=4, sigma=2.5))
+    )
+    instance_cfg = _unet_cfg(
+        lambda: HeadsConfig(
             centered_instance=CenteredInstanceConfmapsHeadConfig(
-                part_names=[f"n{i}" for i in range(13)], output_stride=4, sigma=2.5
+                part_names=[f"n{i}" for i in range(N_NODES)],
+                output_stride=4, sigma=2.5,
             )
-        ),
+        )
     )
     dtype = jnp.bfloat16
     return TopDownPredictor(
-        # Centroid stage at 0.25 input scale (the reference's standard top-down
-        # configuration for 1024px video).
-        centroid_model=make_trained(centroid_cfg, 128, dtype, input_scaling=0.25),
-        confmap_model=make_trained(instance_cfg, CROP, dtype),
-        max_instances=MAX_INSTANCES,
-        batch_size=BATCH,
+        centroid_model=_make_trained(centroid_cfg, 128, dtype, input_scaling=0.25),
+        confmap_model=_make_trained(instance_cfg, CROP, dtype),
+        max_instances=4,
+        batch_size=batch,
     )
 
 
-def main():
-    predictor = build_predictor()
-    infer = predictor._build_infer_fn().__wrapped__  # un-jitted traceable core
+def build_bottomup_predictor(batch):
+    from sleap_tpu.config import (
+        HeadsConfig,
+        MultiInstanceConfig,
+        MultiInstanceConfmapsHeadConfig,
+        PartAffinityFieldsHeadConfig,
+    )
+    from sleap_tpu.inference.bottomup import BottomUpPredictor
+
+    part_names = [f"n{i}" for i in range(N_NODES)]
+    edges = [[f"n{i}", f"n{i + 1}"] for i in range(N_NODES - 1)]
+    bu_cfg = _unet_cfg(
+        lambda: HeadsConfig(
+            multi_instance=MultiInstanceConfig(
+                confmaps=MultiInstanceConfmapsHeadConfig(
+                    part_names=part_names, output_stride=4, sigma=2.5
+                ),
+                pafs=PartAffinityFieldsHeadConfig(
+                    edges=edges, output_stride=8, sigma=5.0
+                ),
+            )
+        )
+    )
+    return BottomUpPredictor(
+        bottomup_model=_make_trained(bu_cfg, IMG, jnp.bfloat16),
+        batch_size=batch,
+        max_peaks_per_node=8,
+        max_instances=3,
+    )
+
+
+def build_single_instance_predictor(batch):
+    from sleap_tpu.config import HeadsConfig, SingleInstanceConfmapsHeadConfig
+    from sleap_tpu.inference.predictors import SingleInstancePredictor
+
+    si_cfg = _unet_cfg(
+        lambda: HeadsConfig(
+            single_instance=SingleInstanceConfmapsHeadConfig(
+                part_names=[f"n{i}" for i in range(N_NODES)],
+                output_stride=4, sigma=2.5,
+            )
+        )
+    )
+    return SingleInstancePredictor(
+        confmap_model=_make_trained(si_cfg, 192, jnp.bfloat16), batch_size=batch
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Timing harness
+# --------------------------------------------------------------------------- #
+
+
+def _chain_images(images, out_scalar):
+    """Thread a data dependency into one pixel (NOT *0.0 — XLA folds that and
+    dead-code-eliminates the pipeline; see CLAUDE.md)."""
+    delta = jnp.mod(jnp.nan_to_num(out_scalar), 1.0)
+    return images.at[0, 0, 0, 0].set(delta.astype(images.dtype))
+
+
+def _run_loop(bench_loop, n_frames):
+    acc = bench_loop(0)
+    float(acc)  # compile + warmup
+    t0 = time.perf_counter()
+    float(bench_loop(1))  # scalar fetch = only trustworthy sync on this runtime
+    elapsed = time.perf_counter() - t0
+    return n_frames / elapsed, elapsed
+
+
+def bench_infer_fps(infer, batch, img_hw, n_iters, inner=1):
+    """FPS of an infer fn via chained fori_loop; `inner` chains multiple
+    applications per iteration to amortize per-iteration overhead."""
 
     @jax.jit
     def bench_loop(seed):
-        # Generate frames on device: cheap pseudo-texture, no host transfer.
         key = jax.random.PRNGKey(seed)
-        base = jax.random.uniform(key, (BATCH, IMG, IMG, 1), jnp.float32, 0, 255)
+        base = jax.random.uniform(key, (batch, img_hw, img_hw, 1), jnp.float32, 0, 255)
         images = base.astype(jnp.uint8)
 
         def body(i, carry):
             images, acc = carry
-            out = infer(images)
-            # Data dependency between iterations: fold a result scalar into
-            # one input element so iterations cannot be elided or reordered.
-            # (A full-image f32 roundtrip here costs ~1.5 ms/iter of pure
-            # measurement artifact; a single-element in-place update is free.)
-            delta = jnp.nan_to_num(out["instance_peaks"]).sum() * 0.0
-            images = images.at[0, 0, 0, 0].add(delta.astype(jnp.uint8))
-            acc = acc + jnp.nan_to_num(out["centroid_vals"]).sum()
-            return (images, acc)
+            s = jnp.float32(0.0)
+            for _ in range(inner):
+                out = infer(images)
+                # Fold EVERY output leaf into the checksum: anything left out
+                # of the data dependency gets dead-code-eliminated by XLA and
+                # silently inflates the number.
+                for leaf in jax.tree_util.tree_leaves(out):
+                    s = s + jnp.nan_to_num(leaf.astype(jnp.float32)).sum()
+                images = _chain_images(images, s)
+            return (images, acc + s)
 
-        _, acc = lax.fori_loop(0, N_ITERS, body, (images, jnp.float32(0.0)))
+        _, acc = lax.fori_loop(0, n_iters, body, (images, jnp.float32(0.0)))
         return acc
 
-    # Compile + warmup.
-    acc = bench_loop(0)
-    float(acc)
-    t0 = time.perf_counter()
-    acc = bench_loop(1)
-    checksum = float(acc)  # forces full completion + transfer of one scalar
-    elapsed = time.perf_counter() - t0
-    fps = N_ITERS * BATCH / elapsed
+    fps, elapsed = _run_loop(bench_loop, n_iters * inner * batch)
+    return fps, elapsed
 
-    print(
-        json.dumps(
-            {
-                "metric": "topdown_inference_fps_1024",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+
+# --------------------------------------------------------------------------- #
+# Config benchmarks
+# --------------------------------------------------------------------------- #
+
+
+def bench_topdown():
+    predictor = build_topdown_predictor(batch=16)
+    infer = predictor._build_infer_fn().__wrapped__
+    fps, _ = bench_infer_fps(infer, 16, IMG, n_iters=30)
+    return {
+        "metric": "topdown_inference_fps_1024",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def bench_topdown_latency():
+    predictor = build_topdown_predictor(batch=1)
+    infer = predictor._build_infer_fn().__wrapped__
+    fps, _ = bench_infer_fps(infer, 1, IMG, n_iters=16, inner=8)
+    latency_ms = 1000.0 / fps
+    return {
+        "metric": "topdown_latency_ms_batch1_1024",
+        "value": round(latency_ms, 3),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_LATENCY_MS / latency_ms, 3),
+    }
+
+
+def bench_bottomup():
+    predictor = build_bottomup_predictor(batch=8)
+    infer = predictor._build_infer_fn().__wrapped__
+    fps, _ = bench_infer_fps(infer, 8, IMG, n_iters=30)
+    return {
+        "metric": "bottomup_inference_fps_1024",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def bench_single_instance():
+    predictor = build_single_instance_predictor(batch=4)
+    infer = predictor._build_infer_fn().__wrapped__
+    fps, _ = bench_infer_fps(infer, 4, 192, n_iters=50, inner=4)
+    return {
+        "metric": "single_instance_inference_fps_192",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def bench_tracking_e2e(n_frames=1000):
+    """End-to-end flow tracking: ONE jitted device scan computes bottom-up
+    peaks AND LK flow shifts for consecutive synthetic frames; the host then
+    matches identities frame-by-frame on the returned (tiny) arrays using
+    the tracker's similarity/matching components."""
+    from sleap_tpu.ops.optical_flow import lk_flow
+    from sleap_tpu.tracking.components import hungarian_matching
+
+    predictor = build_bottomup_predictor(batch=1)
+    infer = predictor._build_infer_fn().__wrapped__
+    K_INST, SCALE = 3, 0.25
+    lk_hw = int(IMG * SCALE)
+
+    def node_positions(t):
+        # 3 animals circling; 13 nodes in a small blob around each center.
+        phases = jnp.arange(K_INST) * (2 * jnp.pi / K_INST)
+        cx = 512 + 300 * jnp.cos(0.02 * t + phases)
+        cy = 512 + 300 * jnp.sin(0.02 * t + phases)
+        offs = jnp.stack(
+            [
+                40 * jnp.cos(jnp.arange(N_NODES) * 0.48),
+                40 * jnp.sin(jnp.arange(N_NODES) * 0.48),
+            ],
+            axis=-1,
+        )  # (N, 2)
+        return jnp.stack([cx, cy], -1)[:, None, :] + offs[None]  # (K, N, 2)
+
+    def render(t):
+        pts = node_positions(t)  # (K, N, 2)
+        yy = jnp.arange(IMG, dtype=jnp.float32)
+        xx = jnp.arange(IMG, dtype=jnp.float32)
+        # Separable gaussian accumulation: sum_k exp(-dx2/2s)exp(-dy2/2s)
+        gx = jnp.exp(-((xx[None, :] - pts[..., 0].reshape(-1, 1)) ** 2) / 50.0)
+        gy = jnp.exp(-((yy[None, :] - pts[..., 1].reshape(-1, 1)) ** 2) / 50.0)
+        img = jnp.einsum("kh,kw->hw", gy, gx)
+        return (img * 200.0).astype(jnp.uint8)[..., None]
+
+    @jax.jit
+    def device_scan(_):
+        def body(t, carry):
+            prev_small, peaks_out, shifts_out = carry
+            frame = render(t.astype(jnp.float32))
+            out = infer(frame[None])
+            peaks = out["peaks"][0]  # (N, K_peaks, 2) model-input px
+            # Flow-shift the previous frame's true node positions into t
+            # (the tracker's candidate generation), at 0.25 image scale like
+            # the reference FlowTracker default.
+            small = jax.image.resize(
+                frame[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
+            )
+            prev_pts = node_positions(t.astype(jnp.float32) - 1.0) * SCALE
+            shifted, status, _ = lk_flow(
+                prev_small, small, prev_pts.reshape(-1, 2), window_size=21,
+                max_levels=3, max_iters=10,
+            )
+            peaks_out = peaks_out.at[t].set(peaks[:, :K_INST].astype(jnp.float32))
+            shifts_out = shifts_out.at[t].set(shifted / SCALE)
+            return (small, peaks_out, shifts_out)
+
+        frame0 = render(-1.0)
+        small0 = jax.image.resize(
+            frame0[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
         )
+        peaks0 = jnp.zeros((n_frames, N_NODES, K_INST, 2), jnp.float32)
+        shifts0 = jnp.zeros((n_frames, K_INST * N_NODES, 2), jnp.float32)
+        _, peaks, shifts = lax.fori_loop(
+            0, n_frames, body, (small0, peaks0, shifts0)
+        )
+        return peaks, shifts
+
+    # Compile + warmup, then timed device pass.
+    p, s = device_scan(0)
+    p.block_until_ready()
+    t0 = time.perf_counter()
+    p, s = device_scan(1)
+    peaks = np.asarray(p)  # transfers force completion
+    shifts = np.asarray(s)
+    t_device = time.perf_counter() - t0
+
+    # Host identity matching over the tiny arrays (flow-shifted prev
+    # instances x current candidates, hungarian on mean point distance).
+    t0 = time.perf_counter()
+    ids = np.arange(K_INST)
+    for t in range(1, n_frames):
+        cand = np.transpose(peaks[t], (1, 0, 2))  # (K_INST, N, 2)
+        shifted_prev = shifts[t].reshape(K_INST, N_NODES, 2)
+        d = np.linalg.norm(shifted_prev[:, None] - cand[None], axis=-1).mean(-1)
+        matches = hungarian_matching(d)  # cost = mean node distance
+        new_ids = np.empty(K_INST, int)
+        for i, j in matches:
+            new_ids[j] = ids[i]
+        ids = new_ids
+    t_host = time.perf_counter() - t0
+
+    fps = n_frames / (t_device + t_host)
+    return {
+        "metric": "tracking_e2e_fps_1024",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    benches = {
+        "topdown": bench_topdown,
+        "latency": bench_topdown_latency,
+        "bottomup": bench_bottomup,
+        "single": bench_single_instance,
+        "tracking": bench_tracking_e2e,
+    }
+    order = (
+        ["topdown", "bottomup", "latency", "single", "tracking"]
+        if which == "all"
+        else [which]
     )
+    for name in order:
+        try:
+            print(json.dumps(benches[name]()), flush=True)
+        except Exception as e:  # one failing config must not hide the rest
+            print(
+                json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"}),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

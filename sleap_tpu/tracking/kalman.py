@@ -8,6 +8,13 @@ tracked by another tracker (typically flow), with NaN-masked observations.
 The reference uses pykalman's EM fitting; here the filter is a closed-form
 constant-velocity KF (no EM), which tracks equivalently for this use case and
 has no external dependency.
+
+Deliberately host-side numpy (not JAX): each frame's update is sequentially
+dependent on the previous frame's, the matrices are tiny (2-4 tracks x
+2*len(node_indices) states), and per-frame device dispatch latency would
+exceed the entire filter cost by orders of magnitude. The batch-parallel
+device work for tracking (LK optical flow) lives in
+:mod:`sleap_tpu.ops.optical_flow`.
 """
 
 from __future__ import annotations

@@ -70,6 +70,25 @@ def test_find_global_peaks_refinement_keeps_nan():
     assert bool(jnp.all(jnp.isnan(peaks[0, 1])))
 
 
+def test_hierarchical_top_k_matches_flat():
+    """The two-stage top-k (bottom-up hot-path optimization) is exact."""
+    from jax import lax
+
+    from sleap_tpu.ops.peak_finding import _hierarchical_top_k
+
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.normal(size=(3, 5, 64 * 1024)).astype("f4"))
+    fv, fi = _hierarchical_top_k(vals, 16)
+    rv, ri = lax.top_k(vals, 16)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+    # Small / non-divisible axes fall back to flat top_k.
+    small = jnp.asarray(rng.normal(size=(2, 100)).astype("f4"))
+    sv, si = _hierarchical_top_k(small, 4)
+    rv2, ri2 = lax.top_k(small, 4)
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv2))
+
+
 def test_find_local_peaks_static():
     xv, yv = make_grid_vectors(48, 48, 1)
     instances = jnp.array(
