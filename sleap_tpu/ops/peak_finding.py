@@ -419,16 +419,43 @@ def _local_nms(cms: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return (cms > neighbor_max) & (cms > threshold)
 
 
+def _local_nms_nchw(cms: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """:func:`_local_nms` for (..., H, W) layout.
+
+    On TPU the channels-last variant puts C (often ~13) in the lane
+    dimension (128 wide) — ~10% utilization; with H, W innermost the shifts
+    and maxes run at full lane width.
+    """
+    neg_inf = jnp.array(-jnp.inf, dtype=cms.dtype)
+    pads = [(0, 0)] * (cms.ndim - 2) + [(1, 1), (1, 1)]
+    padded = jnp.pad(cms, pads, constant_values=neg_inf)
+    H, W = cms.shape[-2], cms.shape[-1]
+    neighbor_max = neg_inf
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = lax.slice(
+                padded,
+                (0,) * (cms.ndim - 2) + (dy + 1, dx + 1),
+                cms.shape[:-2] + (dy + 1 + H, dx + 1 + W),
+            )
+            neighbor_max = jnp.maximum(neighbor_max, shifted)
+    return (cms > neighbor_max) & (cms > threshold)
+
+
 def _hierarchical_top_k(
-    vals: jnp.ndarray, k: int, block: int = 1024
+    vals: jnp.ndarray, k: int, block: int = 2048
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage top-k over the last axis.
 
-    ``lax.top_k`` over a 64k+ axis dominates the whole bottom-up inference
-    path on TPU (measured: ~8.6 ms of a 21.5 ms batch at 1024², vs ~10 ms
-    for the entire UNet forward). Splitting into per-block top-k (parallel,
-    small sorts) followed by a top-k over the block winners is exact as long
-    as k <= block, and benchmarks ~5x faster at these sizes.
+    ``lax.top_k`` over a 64k+ axis is a major cost in bottom-up inference.
+    Splitting into per-block top-k followed by a top-k over the block
+    winners is exact as long as k <= block. Block size tuned IN MODEL
+    CONTEXT (isolated microbenchmarks mislead here — fusion with the conv
+    epilogue inverts the ranking): on v5e, bottom-up peaks stage @1024²
+    batch 8 measured 16.8 ms with block 2048/4096, 18.0 with 1024, 18.6
+    flat, 23.3 with 256.
     """
     n = vals.shape[-1]
     if n <= 4 * block or n % block != 0:
@@ -466,10 +493,15 @@ def find_local_peaks(
         peak_mask: (samples, channels, K) bool validity.
     """
     samples, H, W, channels = cms.shape
-    is_peak = _local_nms(cms, threshold)
+    # ONE transpose to (S, C, H, W), then NMS / top-k / refinement all run in
+    # that layout: W sits in the lane dim (full 128-lane utilization, vs C~13
+    # channels-last) and the refinement reuses the same array instead of a
+    # second 27 MB transpose.
+    cms_t = jnp.transpose(cms, (0, 3, 1, 2))  # (S, C, H, W)
+    is_peak = _local_nms_nchw(cms_t, threshold)
 
-    flat_vals = jnp.transpose(cms, (0, 3, 1, 2)).reshape(samples, channels, H * W)
-    flat_mask = jnp.transpose(is_peak, (0, 3, 1, 2)).reshape(samples, channels, H * W)
+    flat_vals = cms_t.reshape(samples, channels, H * W)
+    flat_mask = is_peak.reshape(samples, channels, H * W)
     masked_vals = jnp.where(flat_mask, flat_vals, -jnp.inf)
 
     top_vals, top_idx = _hierarchical_top_k(masked_vals, max_peaks)  # (S, C, K)
@@ -479,7 +511,7 @@ def find_local_peaks(
     peaks = jnp.stack([xs, ys], axis=-1)  # (S, C, K, 2)
 
     if refinement is not None:
-        cms_flat = jnp.transpose(cms, (0, 3, 1, 2)).reshape(samples * channels, H, W)
+        cms_flat = cms_t.reshape(samples * channels, H, W)
         flat_peaks = peaks.reshape(samples * channels * max_peaks, 2)
         map_inds = jnp.repeat(
             jnp.arange(samples * channels, dtype=jnp.int32), max_peaks
