@@ -286,7 +286,9 @@ def bench_tracking_e2e(n_frames=1000):
     from sleap_tpu.ops.optical_flow import lk_flow
     from sleap_tpu.tracking.components import hungarian_matching
 
-    predictor = build_bottomup_predictor(batch=1)
+    CHUNK = 8  # frames per scan iteration: batch the UNet + LK, and amortize
+    # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
+    predictor = build_bottomup_predictor(batch=CHUNK)
     infer = predictor._build_infer_fn().__wrapped__
     K_INST, SCALE = 3, 0.25
     lk_hw = int(IMG * SCALE)
@@ -317,34 +319,45 @@ def bench_tracking_e2e(n_frames=1000):
 
     @jax.jit
     def device_scan(_):
-        def body(t, carry):
-            prev_small, peaks_out, shifts_out = carry
-            frame = render(t.astype(jnp.float32))
-            out = infer(frame[None])
-            peaks = out["peaks"][0]  # (N, K_peaks, 2) model-input px
-            # Flow-shift the previous frame's true node positions into t
-            # (the tracker's candidate generation), at 0.25 image scale like
-            # the reference FlowTracker default.
-            small = jax.image.resize(
-                frame[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
+        def body(c, carry):
+            peaks_out, shifts_out = carry
+            ts = (c * CHUNK + jnp.arange(CHUNK)).astype(jnp.float32)
+            frames = jax.vmap(render)(ts)  # (CHUNK, IMG, IMG, 1)
+            out = infer(frames)
+            peaks = out["peaks"]  # (CHUNK, N, K_peaks, 2) model-input px
+            # Flow-shift each previous frame's node positions into its
+            # successor (the tracker's candidate generation), at 0.25 image
+            # scale like the reference FlowTracker default. All CHUNK
+            # consecutive pairs run as one batched LK.
+            smalls = jax.vmap(
+                lambda f: jax.image.resize(
+                    f[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
+                )
+            )(frames)
+            prev_smalls = jax.vmap(lambda t: jax.image.resize(
+                render(t)[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
+            ))(ts - 1.0)
+            prev_pts = jax.vmap(node_positions)(ts - 1.0) * SCALE
+            shifted, status, _ = jax.vmap(
+                lambda a, b, p: lk_flow(
+                    a, b, p.reshape(-1, 2), window_size=21, max_levels=3,
+                    max_iters=10,
+                )
+            )(prev_smalls, smalls, prev_pts)
+            peaks_out = lax.dynamic_update_slice(
+                peaks_out,
+                peaks[:, :, :K_INST].astype(jnp.float32),
+                (c * CHUNK, 0, 0, 0),
             )
-            prev_pts = node_positions(t.astype(jnp.float32) - 1.0) * SCALE
-            shifted, status, _ = lk_flow(
-                prev_small, small, prev_pts.reshape(-1, 2), window_size=21,
-                max_levels=3, max_iters=10,
+            shifts_out = lax.dynamic_update_slice(
+                shifts_out, shifted / SCALE, (c * CHUNK, 0, 0)
             )
-            peaks_out = peaks_out.at[t].set(peaks[:, :K_INST].astype(jnp.float32))
-            shifts_out = shifts_out.at[t].set(shifted / SCALE)
-            return (small, peaks_out, shifts_out)
+            return (peaks_out, shifts_out)
 
-        frame0 = render(-1.0)
-        small0 = jax.image.resize(
-            frame0[..., 0].astype(jnp.float32), (lk_hw, lk_hw), "bilinear"
-        )
         peaks0 = jnp.zeros((n_frames, N_NODES, K_INST, 2), jnp.float32)
         shifts0 = jnp.zeros((n_frames, K_INST * N_NODES, 2), jnp.float32)
-        _, peaks, shifts = lax.fori_loop(
-            0, n_frames, body, (small0, peaks0, shifts0)
+        peaks, shifts = lax.fori_loop(
+            0, n_frames // CHUNK, body, (peaks0, shifts0)
         )
         return peaks, shifts
 
