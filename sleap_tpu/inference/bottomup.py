@@ -26,6 +26,7 @@ from sleap_tpu.inference.predictors import (
     _adjust_peaks,
     _attach_tracker,
     _preprocess,
+    _skeleton_from_config,
     load_trained_model,
 )
 from sleap_tpu.models.model import find_head
@@ -168,7 +169,7 @@ class BottomUpPredictor(Predictor):
             yield ex
 
     def _make_labeled_frames_from_generator(self, generator, provider):
-        skeleton = self.bottomup_config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.bottomup_config)
         frames = []
         for ex in generator:
             for i in range(ex["n_valid"]):

@@ -29,6 +29,7 @@ from sleap_tpu.inference.predictors import (
     _adjust_peaks,
     _cast_like,
     _preprocess,
+    _skeleton_from_config,
     load_trained_model,
 )
 from sleap_tpu.models.model import find_head
@@ -168,7 +169,7 @@ class BottomUpMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             yield ex
 
     def _make_labeled_frames_from_generator(self, generator, provider):
-        skeleton = self.config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.config)
         return self._build_frames(
             generator, provider, skeleton, self.classes, score_mode="mean"
         )
@@ -324,7 +325,7 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
 
         anchor_ind = None
         anchor = self.confmap_config.data.instance_cropping.center_on_part
-        skeleton = self.confmap_config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.confmap_config)
         if anchor and anchor in skeleton.node_names:
             anchor_ind = skeleton.node_names.index(anchor)
         K = self._max_peaks
@@ -393,7 +394,7 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             yield ex
 
     def _make_labeled_frames_from_generator(self, generator, provider):
-        skeleton = self.confmap_config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.confmap_config)
         return self._build_frames(
             generator, provider, skeleton, self.classes, score_mode="mean"
         )

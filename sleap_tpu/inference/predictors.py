@@ -197,6 +197,31 @@ def _adjust_peaks(peaks: jnp.ndarray, output_stride: int, input_scale: float) ->
     return peaks
 
 
+def _skeleton_from_config(config) -> "Skeleton":
+    """Skeleton stored with the model, or one rebuilt from the head config.
+
+    Trained run folders carry the training skeleton in
+    ``config.data.labels.skeletons`` (reference training_job.json schema);
+    hand-built or stripped configs may not — fall back to the head's
+    ``part_names`` (+ ``edges`` for PAF models) so prediction still yields
+    well-formed instances.
+    """
+    from sleap_tpu.core.skeleton import Skeleton
+
+    if config.data.labels.skeletons:
+        return config.data.labels.skeletons[0]
+    head = config.model.heads.which_oneof
+    confmaps = getattr(head, "confmaps", head)
+    part_names = list(getattr(confmaps, "part_names", None) or [])
+    skeleton = Skeleton("skeleton")
+    for name in part_names:
+        skeleton.add_node(name)
+    pafs = getattr(head, "pafs", None)
+    for src, dst in list(getattr(pafs, "edges", None) or []):
+        skeleton.add_edge(src, dst)
+    return skeleton
+
+
 # --------------------------------------------------------------------------- #
 # Predictor base
 # --------------------------------------------------------------------------- #
@@ -443,7 +468,7 @@ class SingleInstancePredictor(Predictor):
             yield ex
 
     def _make_labeled_frames_from_generator(self, generator, provider):
-        skeleton = self.confmap_config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.confmap_config)
         frames = []
         for ex in generator:
             n = ex["n_valid"]
@@ -754,7 +779,7 @@ class TopDownPredictor(Predictor):
 
         anchor_ind = None
         anchor = self.confmap_config.data.instance_cropping.center_on_part
-        skeleton = self.confmap_config.data.labels.skeletons[0]
+        skeleton = _skeleton_from_config(self.confmap_config)
         if anchor and anchor in skeleton.node_names:
             anchor_ind = skeleton.node_names.index(anchor)
         K = self._max_peaks
@@ -838,9 +863,9 @@ class TopDownPredictor(Predictor):
 
     def _make_labeled_frames_from_generator(self, generator, provider):
         if self.confmap_config is not None:
-            skeleton = self.confmap_config.data.labels.skeletons[0]
+            skeleton = _skeleton_from_config(self.confmap_config)
         else:
-            skeleton = self.centroid_config.data.labels.skeletons[0]
+            skeleton = _skeleton_from_config(self.centroid_config)
         frames = []
         for ex in generator:
             centroid_only = "gt_instances" in ex

@@ -470,9 +470,27 @@ def _hierarchical_top_k(
     return fv, jnp.take_along_axis(bi, fi, axis=-1)
 
 
+def _pallas_local_peaks_ok(H: int, W: int, refinement: Optional[str]) -> bool:
+    """Whether the fused Mosaic kernel can serve this local-peaks call."""
+    if refinement not in (None, "integral"):
+        return False
+    if H % 8 != 0 or W % 128 != 0:
+        return False  # (8, 128) tile rule for the VMEM block
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - backend init failure
+        return False
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("max_peaks", "threshold", "refinement", "integral_patch_size"),
+    static_argnames=(
+        "max_peaks",
+        "threshold",
+        "refinement",
+        "integral_patch_size",
+        "use_pallas",
+    ),
 )
 def find_local_peaks(
     cms: jnp.ndarray,
@@ -480,6 +498,7 @@ def find_local_peaks(
     threshold: float = 0.2,
     refinement: Optional[str] = None,
     integral_patch_size: int = 5,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-K local maxima per sample×channel, statically shaped.
 
@@ -498,6 +517,25 @@ def find_local_peaks(
     # channels-last) and the refinement reuses the same array instead of a
     # second 27 MB transpose.
     cms_t = jnp.transpose(cms, (0, 3, 1, 2))  # (S, C, H, W)
+
+    if use_pallas is None:
+        use_pallas = _pallas_local_peaks_ok(H, W, refinement)
+    if use_pallas:
+        from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+
+        flat = cms_t.reshape(samples * channels, H, W)
+        peaks_f, vals_f = find_local_peaks_fused_pallas(
+            flat,
+            max_peaks=max_peaks,
+            threshold=threshold,
+            integral_patch_size=integral_patch_size,
+            refine=refinement == "integral",
+        )
+        peaks = peaks_f.reshape(samples, channels, max_peaks, 2)
+        vals = vals_f.reshape(samples, channels, max_peaks)
+        valid = jnp.isfinite(vals)
+        peaks = jnp.where(valid[..., None], peaks, jnp.nan)
+        return peaks, jnp.where(valid, vals, 0.0), valid
     is_peak = _local_nms_nchw(cms_t, threshold)
 
     flat_vals = cms_t.reshape(samples, channels, H * W)

@@ -37,3 +37,61 @@ def test_pallas_nonmultiple_of_block():
     pts = np.asarray(pts)
     np.testing.assert_allclose(pts[0, 1], [6, 4], atol=0.3)
     assert np.isnan(pts[0, 0]).all() and np.isnan(pts[0, 2]).all()
+
+
+def _planted_maps(seed=0, S=2, H=64, W=128, C=3, n=5):
+    rng = np.random.RandomState(seed)
+    cms = np.zeros((S, H, W, C), np.float32)
+    yv, xv = np.mgrid[0:H, 0:W]
+    for s in range(S):
+        for c in range(C):
+            for _ in range(n):
+                cy, cx = rng.randint(2, H - 2), rng.randint(2, W - 2)
+                amp = rng.uniform(0.3, 1.0)
+                cms[s, :, :, c] += amp * np.exp(
+                    -((yv - cy) ** 2 + (xv - cx) ** 2) / (2 * 1.5**2)
+                )
+    cms += rng.uniform(0, 0.05, cms.shape).astype(np.float32)
+    return jnp.asarray(cms)
+
+
+@pytest.mark.parametrize("refinement", [None, "integral"])
+def test_pallas_local_peaks_matches_xla(refinement):
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+    from sleap_tpu.ops.peak_finding import find_local_peaks
+
+    cms = _planted_maps()
+    S, H, W, C = cms.shape
+    K = 8
+    pk, vals, mask = find_local_peaks(
+        cms, max_peaks=K, threshold=0.2, refinement=refinement, use_pallas=False
+    )
+    flat = jnp.transpose(cms, (0, 3, 1, 2)).reshape(S * C, H, W)
+    pk2, v2 = find_local_peaks_fused_pallas(
+        flat,
+        max_peaks=K,
+        threshold=0.2,
+        refine=refinement == "integral",
+        interpret=True,
+    )
+    pk2 = np.asarray(pk2).reshape(S, C, K, 2)
+    v2 = np.asarray(v2).reshape(S, C, K)
+    m2 = np.isfinite(v2)
+    ma = np.asarray(mask)
+    assert (ma == m2).all()
+    np.testing.assert_allclose(np.asarray(pk)[ma], pk2[ma], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vals)[ma], v2[ma], atol=1e-6)
+
+
+def test_pallas_local_peaks_few_peaks_padding():
+    """Maps with fewer than K peaks fill remaining slots with -inf vals."""
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+
+    cms = jnp.zeros((1, 16, 128, 1)).at[0, 4, 6, 0].set(1.0)
+    flat = jnp.transpose(cms, (0, 3, 1, 2)).reshape(1, 16, 128)
+    pk, v = find_local_peaks_fused_pallas(
+        flat, max_peaks=4, threshold=0.2, refine=False, interpret=True
+    )
+    v = np.asarray(v)
+    assert np.isfinite(v[0, 0]) and not np.isfinite(v[0, 1:]).any()
+    np.testing.assert_allclose(np.asarray(pk)[0, 0], [6, 4], atol=1e-6)
