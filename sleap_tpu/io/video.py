@@ -217,6 +217,13 @@ class HDF5Video:
 
     @property
     def test_frame(self) -> np.ndarray:
+        if not self.embedded_frame_inds:
+            raise ValueError(
+                f"{self.filename}: no frames are embedded in this package "
+                "(saving with with_images=True embeds only user-labeled "
+                "frames; pass embed_all_labeled=True for predicted-only "
+                "projects)."
+            )
         return self.get_frame(self.embedded_frame_inds[0])
 
     @property

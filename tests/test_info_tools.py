@@ -58,13 +58,14 @@ def test_matched_instance_distances(skel):
     video = Video.from_numpy(np.zeros((1, 64, 64, 1), "uint8"))
     pts = np.array([[0.0, 0.0], [5.0, 5.0], [10.0, 10.0]])
     a = Instance(skeleton=skel, points=pts)
-    b = Instance(skeleton=skel, points=pts + 1.0)  # sqrt(2) off per node
+    b = PredictedInstance.from_arrays(pts + 1.0, np.ones(3), 0.9, skel)
     lf_a = LabeledFrame(video=video, frame_idx=0, instances=[a])
     lf_b = LabeledFrame(video=video, frame_idx=0, instances=[b])
     la, lb = Labels([lf_a]), Labels([lf_b])
     frame_idxs, D, points_gt, points_pr = matched_instance_distances(
-        la, lb, match_lists=match_instance_lists_nodewise
+        la, lb, match_lists_function=match_instance_lists_nodewise
     )
+    b = Instance(skeleton=skel, points=pts + 1.0)
     assert frame_idxs == [0]
     np.testing.assert_allclose(D, np.sqrt(2.0), atol=1e-6)
     np.testing.assert_allclose(point_dist(a, b), np.sqrt(2.0), atol=1e-6)
@@ -91,7 +92,7 @@ def test_statistic_series(skel):
     # Constant x-drift of 2 px/frame for every tracked node.
     for f in range(1, 4):
         assert disp[f] == pytest.approx(2.0)
-    assert disp[0] == 0
+    assert 0 not in disp  # no prior frame to diff against
 
 
 # --------------------------------------------------------------------------- #
@@ -111,22 +112,25 @@ def test_align_instance_points_recovers_rotation():
     np.testing.assert_allclose(aligned, dst, atol=1e-6)
 
 
-def test_align_instances_template(skel):
+def test_align_instances_rotated_copies_collapse(skel):
     from sleap_tpu.info.align import align_instances, get_instances_points
 
     rng = np.random.RandomState(0)
     base = rng.rand(3, 2) * 20
-    insts = []
+    all_points = []
     for theta in (0.0, 0.4, -0.3):
         R = np.array(
             [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
         )
-        insts.append(Instance(skeleton=skel, points=base @ R.T))
-    aligned = align_instances(insts, 0)
-    pts = np.asarray(aligned)
-    # All instances align onto the first one's geometry.
-    np.testing.assert_allclose(pts[1], pts[0], atol=1e-5)
-    np.testing.assert_allclose(pts[2], pts[0], atol=1e-5)
+        all_points.append(base @ R.T)
+    aligned = align_instances(np.stack(all_points), node_a=0, node_b=1)
+    # Rotated copies of the same geometry collapse onto one shape.
+    np.testing.assert_allclose(aligned[1], aligned[0], atol=1e-5)
+    np.testing.assert_allclose(aligned[2], aligned[0], atol=1e-5)
+    # node_a at origin, node_a->node_b on the vertical axis.
+    np.testing.assert_allclose(aligned[0][0], [0.0, 0.0], atol=1e-8)
+    assert abs(aligned[0][1][0]) < 1e-6
+    insts = [Instance(skeleton=skel, points=p) for p in all_points]
     assert get_instances_points(insts).shape == (3, 3, 2)
 
 
@@ -197,7 +201,9 @@ def test_sleap_render_cli(skel, tmp_path):
 
     labels, _ = _tracked_labels(skel)
     src = str(tmp_path / "p.slp")
-    labels.save(src)
+    # Predicted-only labels: embed_all_labeled, else no frames are embedded
+    # (with_images alone embeds user-labeled frames, reference semantics).
+    labels.save(src, with_images=True, embed_all_labeled=True)
     out = str(tmp_path / "rendered.mp4")
     render_main([src, "-o", out, "--frames", "0-2"])
     assert Video.from_filename(out).num_frames >= 2
@@ -240,14 +246,15 @@ def test_paired_sender_receiver_roundtrip():
     zmq = pytest.importorskip("zmq")
     from sleap_tpu.message import PairedReceiver, PairedSender
 
-    address = "tcp://127.0.0.1:19127"
+    import os
+    address = f"tcp://127.0.0.1:{19000 + os.getpid() % 4000}"
     sender = PairedSender(address)
     receiver = PairedReceiver(address)
     try:
         receiver.setup()
         sender.setup()
         sender.send_dict({"event": "epoch_end", "epoch": 3})
-        msgs = receiver.check_messages(timeout=2000)
+        msgs = receiver.check_messages(timeout=2.0)
         assert any(m.get("event") == "epoch_end" for m in msgs)
     finally:
         sender.close()
