@@ -255,9 +255,12 @@ def bench_topdown_latency():
 
 
 def bench_bottomup():
-    predictor = build_bottomup_predictor(batch=8)
+    # Batch sweep (round 2, fused Pallas peaks + matmul PAF sampling):
+    # 8 -> 674 FPS, 16 -> 724, 32 -> 779. No crop stage, so no batch-32
+    # cliff like top-down; 32 is the throughput sweet spot.
+    predictor = build_bottomup_predictor(batch=32)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 8, IMG, n_iters=30)
+    fps, _ = bench_infer_fps(infer, 32, IMG, n_iters=30)
     return {
         "metric": "bottomup_inference_fps_1024",
         "value": round(fps, 2),
@@ -286,7 +289,7 @@ def bench_tracking_e2e(n_frames=1000):
     from sleap_tpu.ops.optical_flow import lk_flow
     from sleap_tpu.tracking.components import hungarian_matching
 
-    CHUNK = 8  # frames per scan iteration: batch the UNet + LK, and amortize
+    CHUNK = 16  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
     predictor = build_bottomup_predictor(batch=CHUNK)
     infer = predictor._build_infer_fn().__wrapped__
