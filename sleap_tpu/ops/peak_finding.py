@@ -348,7 +348,7 @@ def find_global_peaks(
         peak_points: (samples, channels, 2) xy (NaN below threshold).
         peak_vals: (samples, channels).
     """
-    if refinement == "integral" and jax.default_backend() == "tpu":
+    if refinement == "integral" and not FORCE_XLA_PEAKS and jax.default_backend() == "tpu":
         # Fused single-pass Pallas kernel (see ops/pallas_peaks.py): ~1.5x
         # faster than the XLA decomposition on TPU, numerically equivalent.
         from sleap_tpu.ops.pallas_peaks import find_global_peaks_integral_pallas
@@ -470,8 +470,16 @@ def _hierarchical_top_k(
     return fv, jnp.take_along_axis(bi, fi, axis=-1)
 
 
+# Set True while tracing GSPMD-sharded (multi-chip) computations: a
+# pallas_call cannot be auto-partitioned by GSPMD, so the sharded predictor
+# paths (parallel/distributed.py) pin the XLA implementation instead.
+FORCE_XLA_PEAKS = False
+
+
 def _pallas_local_peaks_ok(H: int, W: int, refinement: Optional[str]) -> bool:
     """Whether the fused Mosaic kernel can serve this local-peaks call."""
+    if FORCE_XLA_PEAKS:
+        return False
     if refinement not in (None, "integral"):
         return False
     if H % 8 != 0 or W % 128 != 0:
@@ -480,6 +488,29 @@ def _pallas_local_peaks_ok(H: int, W: int, refinement: Optional[str]) -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover - backend init failure
         return False
+
+
+def find_local_peaks(
+    cms: jnp.ndarray,
+    max_peaks: int = 32,
+    threshold: float = 0.2,
+    refinement: Optional[str] = None,
+    integral_patch_size: int = 5,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Thin dispatcher: resolve the Pallas/XLA choice OUTSIDE the jitted body
+    so it participates in the jit cache key (FORCE_XLA_PEAKS flips must not
+    hit a stale cached trace)."""
+    if use_pallas is None:
+        use_pallas = _pallas_local_peaks_ok(cms.shape[1], cms.shape[2], refinement)
+    return _find_local_peaks_jit(
+        cms,
+        max_peaks=max_peaks,
+        threshold=threshold,
+        refinement=refinement,
+        integral_patch_size=integral_patch_size,
+        use_pallas=use_pallas,
+    )
 
 
 @functools.partial(
@@ -492,13 +523,13 @@ def _pallas_local_peaks_ok(H: int, W: int, refinement: Optional[str]) -> bool:
         "use_pallas",
     ),
 )
-def find_local_peaks(
+def _find_local_peaks_jit(
     cms: jnp.ndarray,
     max_peaks: int = 32,
     threshold: float = 0.2,
     refinement: Optional[str] = None,
     integral_patch_size: int = 5,
-    use_pallas: Optional[bool] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-K local maxima per sample×channel, statically shaped.
 
@@ -518,8 +549,6 @@ def find_local_peaks(
     # second 27 MB transpose.
     cms_t = jnp.transpose(cms, (0, 3, 1, 2))  # (S, C, H, W)
 
-    if use_pallas is None:
-        use_pallas = _pallas_local_peaks_ok(H, W, refinement)
     if use_pallas:
         from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
 

@@ -68,8 +68,17 @@ def sharded_infer_fn(
     )
 
     def wrapped(*args):
+        from sleap_tpu.ops import peak_finding
+
         args = tuple(jax.device_put(a, batch_sharding) for a in args)
-        return fn(*args)
+        # GSPMD cannot auto-partition pallas_call custom calls: pin the XLA
+        # peak-finding implementations while tracing/running sharded.
+        prev = peak_finding.FORCE_XLA_PEAKS
+        peak_finding.FORCE_XLA_PEAKS = True
+        try:
+            return fn(*args)
+        finally:
+            peak_finding.FORCE_XLA_PEAKS = prev
 
     return wrapped
 
