@@ -1,21 +1,24 @@
-"""EXPERIMENTAL Pallas crop kernel (correct in interpret mode; TPU lowering
-still blocked).
+"""Pallas TPU crop kernel: per-program DMA + dynamic-roll alignment.
 
-Goal: replace the vmapped ``dynamic_slice`` crops (which serialize on TPU)
-with per-program async DMA + fractional blend. Findings so far (kept for the
-next attempt):
+Replaces the vmapped ``dynamic_slice`` crops in
+:func:`sleap_tpu.ops.peak_finding.crop_bboxes_unit` for the top-down hot
+path. XLA lowers the vmapped slice/update pattern to a sequential per-crop
+loop (~1.4 ms of a 4.1 ms batch-16 top-down iteration, profiled); here each
+grid program issues ONE aligned DMA from the HBM-resident frame and fixes
+the residual offset with dynamic lane/sublane rotations.
 
-- DMA starts/sizes along the sublane (W) dim must be 8-aligned; handled by
-  rounding starts down and an 8-way ``lax.switch`` over static slices for
-  the residual (static unaligned sublane slices ARE supported; dynamic are
-  not).
-- Remaining blocker: with channels-last rank-4 canvases the LANE dim is
-  C (=1 for grayscale), and Mosaic rejects DMA slices whose lane dim is
-  neither 128-aligned nor... even the full size-1 dim. A working design
-  probably needs the canvas flattened to (B, H, W) with W as lanes, full-row
-  DMAs, and a masked lane *rotation* for the [0, 128) residual offset.
-
-Production code uses :func:`sleap_tpu.ops.peak_finding.crop_bboxes_unit`.
+Mosaic constraints that shaped this design (each cost an attempt in r1/r2):
+- DMA starts along the sublane dim must be tile-aligned (8 for f32, 32 for
+  uint8) and along the lane dim 128-aligned -> DMA from a rounded-down,
+  clipped base and realign with ``pltpu.roll`` (dynamic shifts ARE supported
+  on both axes; plain negative Python shifts are not - use ``(-d) % size``).
+- Rank-4 channels-last canvases put C(=1) in the lane dim, which Mosaic
+  rejects for DMA -> operate on (B, H, W) with W in lanes (C==1 fast path).
+- Static slices with small unaligned offsets are rejected -> take the four
+  bilinear taps via static rolls and a single [:ch, :cw] slice at offset 0.
+- Out-of-image taps: rolls wrap within the scratch window; a global
+  row/col-coordinate mask zeroes every tap whose source pixel lies outside
+  the image (same zeros the XLA path produces via clamp+roll+mask).
 """
 
 from __future__ import annotations
@@ -37,51 +40,104 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _round8(n: int) -> int:
-    return ((n + 7) // 8) * 8
+def _roundup(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
-def _crop_kernel(bi_ref, ys_ref, xs_ref, fx_ref, fy_ref, canvas_ref, out_ref,
-                 scratch_ref, sem):
+def _sublane_align(dtype) -> int:
+    """DMA start alignment along the second-to-last dim for this dtype."""
+    if dtype == jnp.uint8 or dtype == jnp.int8:
+        return 32
+    if dtype == jnp.bfloat16 or dtype == jnp.float16:
+        return 16
+    return 8
+
+
+def _crop_kernel(
+    bi_ref,
+    yd_ref,
+    xd_ref,
+    fx_ref,
+    fy_ref,
+    canvas_ref,
+    out_ref,
+    scratch,
+    sem,
+    *,
+    H: int,
+    W: int,
+    ch: int,
+    cw: int,
+    wh: int,
+    ww: int,
+    y_align: int,
+):
     i = pl.program_id(0)
     bi = bi_ref[i]
-    ys = ys_ref[i]
-    xs = xs_ref[i]
-    crop_h = out_ref.shape[1]
-    crop_w = out_ref.shape[2]
-    # DMA starts and sizes must be 8-aligned in the sublane (W) dim: round
-    # the start down to 8 and fetch a larger window; the residual offset is
-    # applied with a dynamic in-VMEM slice below.
-    wh = _round8(crop_h + 1) + 8
-    ww = _round8(crop_w + 1) + 8
-    ys8 = (ys // 8) * 8
-    xs8 = (xs // 8) * 8
-    ry = ys - ys8
-    rx = xs - xs8
+    yd = yd_ref[i]
+    xd = xd_ref[i]
 
-    dma = pltpu.make_async_copy(
-        canvas_ref.at[bi, pl.ds(ys8, wh), pl.ds(xs8, ww), :],
-        scratch_ref,
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    ybase = (jnp.clip(yd, 0, H - wh) // y_align) * y_align
+    xbase = (jnp.clip(xd, 0, W - ww) // 128) * 128
+    dy = yd - ybase  # in (-wh, wh); window sizes guarantee no in-bounds wrap
+    dx = xd - xbase
 
-    # H (untiled) residual: dynamic slice. W (sublane) residual: 8-way switch
-    # over static slices (dynamic sublane slicing is unsupported in Mosaic).
-    patch_y = scratch_ref[pl.ds(ry, crop_h + 1)]
-    patch = jax.lax.switch(
-        rx, [lambda r=r: patch_y[:, r : r + crop_w + 1, :] for r in range(8)]
+    copy = pltpu.make_async_copy(
+        canvas_ref.at[bi, pl.ds(ybase, wh), pl.ds(xbase, ww)], scratch, sem
     )
-    # Mosaic has no direct uint8 -> f32 cast; hop through int32.
+    copy.start()
+    copy.wait()
+
+    patch = scratch[...]
     if patch.dtype == jnp.uint8:
-        patch = patch.astype(jnp.int32)
-    patch = patch.astype(jnp.float32)  # (crop+1, crop+1, C)
+        patch = patch.astype(jnp.int32)  # no direct uint8->f32 in Mosaic
+    patch = patch.astype(jnp.float32)
+
+    # Realign so patch[r, c] holds pixel (yd + r, xd + c); wrapped taps are
+    # zeroed by the global-coordinate mask.
+    patch = pltpu.roll(patch, (-dy) % wh, 0)
+    patch = pltpu.roll(patch, (-dx) % ww, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+    gy = yd + rows
+    gx = xd + cols
+    valid = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
+    patch = jnp.where(valid, patch, 0.0)
+
+    # 2x2 fractional blend; taps via static rolls (offset-1 static slices are
+    # rejected by Mosaic layout inference).
+    p01 = pltpu.roll(patch, ww - 1, 1)  # p01[r, c] = patch[r, c+1]
+    p10 = pltpu.roll(patch, wh - 1, 0)  # p10[r, c] = patch[r+1, c]
+    p11 = pltpu.roll(p10, ww - 1, 1)
     fx = fx_ref[i]
     fy = fy_ref[i]
-    top = patch[:-1, :-1] * (1 - fx) + patch[:-1, 1:] * fx
-    bot = patch[1:, :-1] * (1 - fx) + patch[1:, 1:] * fx
-    out_ref[0] = top * (1 - fy) + bot * fy
+    top = patch * (1.0 - fx) + p01 * fx
+    bot = p10 * (1.0 - fx) + p11 * fx
+    res = top * (1.0 - fy) + bot * fy
+    out_ref[0] = res[:ch, :cw]
+
+
+def crop_window_shape(crop_size: Tuple[int, int], dtype) -> Tuple[int, int]:
+    """DMA window (wh, ww) for a crop: rounded up so the residual alignment
+    roll can never wrap an in-bounds tap back into the visible region."""
+    ch, cw = crop_size
+    y_align = _sublane_align(dtype)
+    return _roundup(ch + y_align, y_align), _roundup(cw + 128, 128)
+
+
+def crop_bboxes_unit_pallas_ok(images_shape, crop_size, dtype) -> bool:
+    """Whether the Mosaic crop kernel can serve this call."""
+    if not _HAS_PLTPU:
+        return False
+    ch, cw = crop_size
+    if ch % 8 != 0 or cw % 128 != 0:
+        return False  # output block tiling
+    H, W, C = images_shape[1], images_shape[2], images_shape[3]
+    if C != 1:
+        return False  # W must be the lane dim
+    wh, ww = crop_window_shape(crop_size, dtype)
+    y_align = _sublane_align(dtype)
+    return H >= wh and W >= ww and H % y_align == 0 and W % 128 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("crop_size", "interpret"))
@@ -92,11 +148,13 @@ def crop_bboxes_unit_pallas(
     crop_size: Tuple[int, int],
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for :func:`crop_bboxes_unit` (same args/semantics)."""
-    crop_h, crop_w = crop_size
-    H, W, C = images.shape[1], images.shape[2], images.shape[3]
-    pad_h, pad_w = ((crop_h + 8) // 8) * 8 + 16, ((crop_w + 8) // 8) * 8 + 16
-    padded = jnp.pad(images, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    """Drop-in for :func:`crop_bboxes_unit` (same args/semantics), C==1."""
+    ch, cw = crop_size
+    B, H, W, C = images.shape
+    assert C == 1, "Pallas crop kernel is single-channel; gate via _ok()."
+    canvas = images[..., 0]  # (B, H, W): W in lanes
+    wh, ww = crop_window_shape(crop_size, images.dtype)
+    y_align = _sublane_align(images.dtype)
 
     x1 = top_left[:, 0]
     y1 = top_left[:, 1]
@@ -104,32 +162,29 @@ def crop_bboxes_unit_pallas(
     y0 = jnp.floor(y1)
     fx = (x1 - x0).astype(jnp.float32)
     fy = (y1 - y0).astype(jnp.float32)
-    ys = jnp.clip(y0.astype(jnp.int32) + pad_h, 0, H + pad_h)
-    xs = jnp.clip(x0.astype(jnp.int32) + pad_w, 0, W + pad_w)
+    yd = y0.astype(jnp.int32)
+    xd = x0.astype(jnp.int32)
     n = top_left.shape[0]
 
+    kernel = functools.partial(
+        _crop_kernel, H=H, W=W, ch=ch, cw=cw, wh=wh, ww=ww, y_align=y_align
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, crop_h, crop_w, C), lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, ch, cw), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM(
-                (((crop_h + 8) // 8) * 8 + 8, ((crop_w + 8) // 8) * 8 + 8, C),
-                images.dtype,
-            ),
+            pltpu.VMEM((wh, ww), images.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _crop_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, crop_h, crop_w, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, ch, cw), jnp.float32),
         interpret=interpret,
-    )(
-        box_indices.astype(jnp.int32), ys, xs, fx, fy, padded
-    )
-    return out
+    )(box_indices.astype(jnp.int32), yd, xd, fx, fy, canvas)
+    return out[..., None]

@@ -186,6 +186,18 @@ def crop_bboxes_unit(
     crop_h, crop_w = crop_size
     H, W, C = images.shape[1], images.shape[2], images.shape[3]
 
+    if not FORCE_XLA_PEAKS and jax.default_backend() == "tpu":
+        from sleap_tpu.ops.pallas_crops import (
+            crop_bboxes_unit_pallas,
+            crop_bboxes_unit_pallas_ok,
+        )
+
+        if crop_bboxes_unit_pallas_ok(images.shape, crop_size, images.dtype):
+            # One aligned DMA + dynamic-roll realignment per crop; the XLA
+            # vmapped dynamic_slice lowers to a sequential per-crop loop
+            # costing ~1.4 ms/batch-16 @1024² (see pallas_crops.py).
+            return crop_bboxes_unit_pallas(images, top_left, box_indices, crop_size)
+
     x1 = top_left[:, 0]
     y1 = top_left[:, 1]
     x0 = jnp.floor(x1)
