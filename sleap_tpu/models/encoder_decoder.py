@@ -221,6 +221,54 @@ def upsample(x: jnp.ndarray, stride: int, method: str) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
+class _SplitConv(nn.Module):
+    """Conv over a virtual channel-concat, applied as per-part convs summed.
+
+    ``conv(concat(parts), W) == sum_i conv(parts[i], W[:, :, off_i:off_i+c_i])``
+    exactly, but skipping the concat lets XLA keep each part in its producer's
+    layout: on TPU the skip-concat in the UNet decoder otherwise materializes
+    a relayout copy of the full-resolution activation (profiled at ~4 ms of a
+    33 ms batch-32 bottom-up forward @1024²). Parameter tree (``kernel``,
+    ``bias`` under this module's name) is identical to the ``nn.Conv`` it
+    replaces, so checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        k = int(self.kernel_size)
+        c_in = sum(int(p.shape[-1]) for p in parts)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c_in, int(self.features)),
+        )
+        kernel = kernel.astype(self.compute_dtype)
+        out = None
+        off = 0
+        for p in parts:
+            c = int(p.shape[-1])
+            y = jax.lax.conv_general_dilated(
+                p.astype(self.compute_dtype),
+                jax.lax.slice_in_dim(kernel, off, off + c, axis=2),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+            off += c
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (int(self.features),)
+            )
+            out = out + bias.astype(self.compute_dtype)
+        return out
+
+
 class EncoderDecoderNet(nn.Module):
     """Executes (stem, encoder, decoder) block-descriptor stacks.
 
@@ -328,19 +376,33 @@ class EncoderDecoderNet(nn.Module):
                     x = apply_activation(x, t_act)
                 else:
                     x = upsample(x, up_stride, interp)
+                concat_parts = None
                 if skip_conn and skip is not None:
                     if skip_add:
                         src = skip
                         if src.shape[-1] != x.shape[-1]:
                             src = conv(src, x.shape[-1], 1, True, f"{prefix}_skip_conv1x1")
                         x = src + x
+                    elif n_refine > 0:
+                        # Feed the first refine conv the parts unconcatenated
+                        # (_SplitConv): same math + params, no relayout copy.
+                        concat_parts = [skip, x]
                     else:
                         x = jnp.concatenate([skip, x], axis=-1)
                 for i in range(n_refine):
                     filters = r_filters
                     if i == 0 and r_first is not None:
                         filters = r_first
-                    x = conv(x, filters, r_ksize, r_bias, f"{prefix}_refine_conv{i}")
+                    if i == 0 and concat_parts is not None:
+                        x = _SplitConv(
+                            features=int(filters),
+                            kernel_size=r_ksize,
+                            use_bias=r_bias,
+                            compute_dtype=self.compute_dtype,
+                            name=f"{prefix}_refine_conv{i}",
+                        )(concat_parts)
+                    else:
+                        x = conv(x, filters, r_ksize, r_bias, f"{prefix}_refine_conv{i}")
                     if r_bn:
                         x = bn(x, f"{prefix}_refine_conv{i}_bn")
                     x = apply_activation(x, r_act)

@@ -30,6 +30,61 @@ PAD_COST = 1e3
 _INF = jnp.inf
 
 
+# Largest n solved by the subset-DP path (2^n states per matrix). Above
+# this, state memory grows past the win and the JV path takes over.
+_MAX_DP_N = 12
+
+
+def _solve_lap_dp(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact assignment via DP over column subsets (Held-Karp).
+
+    For the tiny matrices on the hot paths (peaks x peaks <= 8x8, 384 of
+    them per bottom-up batch) the shortest-augmenting-path solver's nested
+    data-dependent ``while`` loops cost ~8 ms/batch of pure sequential
+    latency on TPU (profiled). This formulation needs only ``n`` scan steps
+    of a fully vectorized (2^n, n) gather+min plus an ``n``-step backtrack
+    — ~16 sequential steps instead of ~130 — and is exact (same family of
+    optima; tie-breaks may differ from scipy, which no caller depends on).
+    """
+    n = cost.shape[0]
+    cost = cost.astype(jnp.float32)
+    # Row+column reduction: subtracting per-row/col constants changes every
+    # perfect matching's total equally, so the argmin assignment is
+    # unchanged — but dp magnitudes shrink from O(n * PAD_COST) to O(range),
+    # preserving f32 resolution for the real costs.
+    cost = cost - jnp.min(cost, axis=1, keepdims=True)
+    cost = cost - jnp.min(cost, axis=0, keepdims=True)
+
+    n_sub = 1 << n
+    subsets = jnp.arange(n_sub, dtype=jnp.int32)
+    cols = jnp.arange(n, dtype=jnp.int32)
+    has_bit = ((subsets[:, None] >> cols[None, :]) & 1) == 1  # (2^n, n)
+    prev_idx = subsets[:, None] ^ (1 << cols)[None, :]  # S \ {j} where set
+
+    def step(dp, cost_row):
+        cand = dp[prev_idx] + cost_row[None, :]
+        cand = jnp.where(has_bit, cand, _INF)
+        arg = jnp.argmin(cand, axis=1)
+        dp_new = jnp.min(cand, axis=1)
+        return dp_new, arg.astype(jnp.int8)
+
+    dp0 = jnp.where(subsets == 0, 0.0, _INF).astype(jnp.float32)
+    _, args = lax.scan(step, dp0, cost)  # args: (n, 2^n)
+
+    def back_step(S, i):
+        j = args[i, S].astype(jnp.int32)
+        return S - (1 << j), j
+
+    _, cols_rev = lax.scan(
+        back_step, jnp.int32(n_sub - 1), jnp.arange(n - 1, -1, -1)
+    )
+    col4row = cols_rev[::-1]
+    row4col = (
+        jnp.zeros(n, jnp.int32).at[col4row].set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return col4row, row4col
+
+
 @functools.partial(jax.jit, static_argnames=())
 def solve_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact minimum-cost square assignment.
@@ -43,6 +98,8 @@ def solve_lap(cost: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         (col4row[i] = column assigned to row i).
     """
     n = cost.shape[0]
+    if n <= _MAX_DP_N:
+        return _solve_lap_dp(cost)
     cost = cost.astype(jnp.float32)
 
     def augment_row(carry, cur_row):
