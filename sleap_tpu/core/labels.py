@@ -226,8 +226,11 @@ class Labels(MutableSequence):
         lf = self.find_first(video, frame_idx)
         return len(lf.instances) if lf is not None else 0
 
-    def get_track_occupancy(self, video: Video) -> Dict[Track, List[Tuple[int, int]]]:
-        """Per-track sorted list of (start, end_exclusive) frame ranges."""
+    def get_track_occupancy(self, video: Video) -> Dict[Track, "RangeList"]:
+        """Per-track RangeList of (start, end_exclusive) frame ranges
+        (reference dataset.py ``get_track_occupancy`` returns RangeList)."""
+        from sleap_tpu.core.rangelist import RangeList
+
         occupancy: Dict[Track, List[int]] = {}
         for lf in self.find(video):
             for inst in lf.instances:
@@ -244,7 +247,7 @@ class Labels(MutableSequence):
                     ranges.append((start, prev + 1))
                     start = prev = i
             ranges.append((start, prev + 1))
-            out[track] = ranges
+            out[track] = RangeList(ranges)
         return out
 
     # ------------------------------------------------------------------ #
@@ -490,10 +493,23 @@ def _labels_merge(self, other: "Labels") -> None:
     reference's interactive three-way conflict resolution lives in its GUI;
     this is the programmatic merge, reference dataset.py:1767.)
     """
+    def _match_key(video):
+        # Only real on-disk filenames identify a video across Labels objects.
+        # In-memory NumpyVideo backends lazily rewrite their filename to the
+        # constant "numpy_video" sentinel, which must NOT match (two distinct
+        # arrays would silently merge and dedup-drop frames).
+        fn = getattr(video, "filename", None)
+        if isinstance(fn, str) and fn and fn != "numpy_video":
+            return fn
+        return None
+
     video_map = {}
     for v_other in other.videos:
+        key = _match_key(v_other)
+        if key is None:
+            continue
         for v_self in self.videos:
-            if v_self.filename and v_self.filename == v_other.filename:
+            if _match_key(v_self) == key:
                 video_map[id(v_other)] = v_self
                 break
     for lf in other.labeled_frames:

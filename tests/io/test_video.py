@@ -1,0 +1,143 @@
+"""Video facade + backend behaviors (reference tests/io/test_video.py).
+
+Covers NumpyVideo, DummyVideo, MediaVideo (real mp4 decode), HDF5Video,
+SingleImageVideo, the facade's shape/delegation/equality contract, and
+from_filename dispatch (reference sleap/io/video.py:1001).
+"""
+
+import h5py
+import numpy as np
+import pytest
+
+from sleap_tpu.io.video import (
+    DummyVideo,
+    HDF5Video,
+    MediaVideo,
+    NumpyVideo,
+    Video,
+)
+
+
+def test_numpy_video_basics():
+    data = np.arange(2 * 4 * 5 * 1, dtype=np.uint8).reshape(2, 4, 5, 1)
+    video = Video.from_numpy(data)
+    assert video.shape == (2, 4, 5, 1)
+    assert len(video) == 2
+    assert video.num_frames == 2
+    assert video.last_frame_idx == 1
+    np.testing.assert_array_equal(video.get_frame(1), data[1])
+    np.testing.assert_array_equal(video.get_frames([0, 1]), data)
+    assert video.test_frame.shape == (4, 5, 1)
+
+
+def test_numpy_video_adds_channel_axis():
+    data = np.zeros((3, 4, 5), np.uint8)
+    video = Video.from_numpy(data)
+    assert video.shape == (3, 4, 5, 1)
+
+
+def test_get_frames_safely_skips_bad_indices():
+    video = Video.from_numpy(np.zeros((3, 4, 4, 1), np.uint8))
+    idxs, frames = video.get_frames_safely([0, 99, 2])
+    assert idxs == [0, 2]
+    assert frames.shape == (2, 4, 4, 1)
+
+
+def test_dummy_video():
+    video = Video(backend=DummyVideo(filename="fake", height=8, width=6, frames=10))
+    assert video.shape == (10, 8, 6, 1)
+    assert video.get_frame(3).shape == (8, 6, 1)
+
+
+def test_video_equality_semantics():
+    a = np.zeros((2, 4, 4, 1), np.uint8)
+    v1 = Video.from_numpy(a)
+    v2 = Video.from_numpy(a)  # same array object
+    v3 = Video.from_numpy(np.zeros((2, 4, 4, 1), np.uint8))
+    assert v1 == v2
+    assert v1 != v3
+    # Different backend types never compare equal.
+    dv = Video(backend=DummyVideo(filename="x"))
+    assert v1 != dv
+    # Hash is identity-based so distinct-but-equal videos can coexist in dicts.
+    assert len({v1: 1, v2: 2}) == 2
+
+
+def test_media_video_decode(centered_pair_video):
+    video = Video.from_filename(centered_pair_video)
+    assert isinstance(video.backend, MediaVideo)
+    assert video.num_frames > 0
+    frame = video.get_frame(0)
+    assert frame.shape == (video.height, video.width, video.channels)
+    assert frame.dtype == np.uint8
+    # Sequential fast path yields the same frames as random access.
+    f5 = video.get_frame(5)
+    video.reset()
+    seq = [video.get_frame(i) for i in range(6)]
+    np.testing.assert_array_equal(seq[5], f5)
+
+
+def test_media_video_grayscale_override(centered_pair_video):
+    video = Video(backend=MediaVideo(filename=centered_pair_video, grayscale=True))
+    assert video.get_frame(0).shape[-1] == 1
+    rgb = Video(backend=MediaVideo(filename=centered_pair_video, grayscale=False))
+    assert rgb.get_frame(0).shape[-1] == 3
+
+
+def test_media_video_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        Video(backend=MediaVideo(filename="/does/not/exist.mp4")).get_frame(0)
+
+
+def test_hdf5_video(tmp_path):
+    data = np.random.default_rng(0).integers(0, 255, (4, 8, 8, 1), np.uint8)
+    path = str(tmp_path / "vid.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("video", data=data)
+    # Reference argument order: dataset first (sleap/io/video.py from_hdf5).
+    video = Video.from_hdf5("video", path)
+    assert isinstance(video.backend, HDF5Video)
+    assert video.shape == (4, 8, 8, 1)
+    np.testing.assert_array_equal(video.get_frame(2), data[2])
+
+
+def test_from_filename_dispatch(tmp_path, centered_pair_video):
+    assert isinstance(Video.from_filename(centered_pair_video).backend, MediaVideo)
+
+    npy = str(tmp_path / "frames.npy")
+    np.save(npy, np.zeros((2, 4, 4, 1), np.uint8))
+    assert isinstance(Video.from_filename(npy).backend, NumpyVideo)
+
+    h5 = str(tmp_path / "frames.h5")
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("video", data=np.zeros((2, 4, 4, 1), np.uint8))
+    v = Video.from_filename(h5, dataset="video")
+    assert isinstance(v.backend, HDF5Video)
+
+
+def test_single_image_video(tmp_path):
+    import cv2
+
+    imgs = []
+    for i in range(3):
+        p = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(p, np.full((6, 5, 3), i * 40, np.uint8))
+        imgs.append(p)
+    video = Video.from_image_filenames(imgs)
+    assert video.num_frames == 3
+    f1 = video.get_frame(1)
+    assert f1.shape[0] == 6 and f1.shape[1] == 5
+    assert (f1 == 40).all()
+
+
+def test_hdf5_embedded_package_roundtrip(min_labels, tmp_path):
+    """Embedded-image .pkg.slp: frames decode after save-with-images."""
+    out = str(tmp_path / "pkg.slp")
+    min_labels.save(out, with_images=True, embed_all_labeled=True)
+    from sleap_tpu.core.labels import Labels
+
+    loaded = Labels.load_file(out)
+    lf = loaded[0]
+    img = lf.image
+    assert img is not None and img.ndim == 3
+    assert loaded.video.backend.has_embedded_images
