@@ -55,6 +55,10 @@ class TrainingControllerZMQ:
         self.socket.setsockopt_string(zmq.SUBSCRIBE, "")
         self.socket.connect(address)
         self.timeout = timeout
+        #: Pending remote learning-rate request; the trainer consumes (and
+        #: clears) it at the next poll site (reference callbacks.py:43-57
+        #: applies set_lr to the live optimizer).
+        self.requested_lr: Optional[float] = None
 
     def poll(self) -> Optional[str]:
         """Returns "stop" if a stop command arrived, else None."""
@@ -67,4 +71,12 @@ class TrainingControllerZMQ:
                 return "stop"
             if command == "set_lr":
                 logger.info("Remote set_lr: %s", msg.get("lr"))
+                try:
+                    self.requested_lr = float(msg.get("lr"))
+                except (TypeError, ValueError):
+                    logger.warning("Ignoring malformed set_lr: %r", msg.get("lr"))
         return None
+
+    def take_requested_lr(self) -> Optional[float]:
+        lr, self.requested_lr = self.requested_lr, None
+        return lr

@@ -695,9 +695,14 @@ class Trainer:
                 train_losses.append(float(loss))
                 if self._zmq_reporter:
                     self._zmq_reporter.batch_end(epoch, b, train_losses[-1])
-                if self._zmq_controller and self._zmq_controller.poll() == "stop":
-                    stop_requested = True
-                    break
+                if self._zmq_controller:
+                    if self._zmq_controller.poll() == "stop":
+                        stop_requested = True
+                        break
+                    new_lr = self._zmq_controller.take_requested_lr()
+                    if new_lr is not None:
+                        lr_sched.lr = new_lr
+                        opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
 
             val_losses = []
             # No usable validation examples (all frames dropped at preload):
