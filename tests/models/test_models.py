@@ -257,3 +257,26 @@ def test_unet_space_to_depth():
 
     g = jax.grad(loss)(variables["params"])
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+
+def test_fused_up2_conv_exact_vs_unfused():
+    """fused_up2_conv == conv_SAME(bilinear_up2(x), W) including borders."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sleap_tpu.models.encoder_decoder import fused_up2_conv
+
+    rng = np.random.default_rng(0)
+    with jax.default_matmul_precision("highest"):
+        for N, M, C, CO in [(6, 8, 3, 5), (4, 4, 1, 1), (8, 6, 2, 4)]:
+            x = jnp.asarray(rng.normal(size=(2, N, M, C)).astype("f4"))
+            W = jnp.asarray(rng.normal(size=(3, 3, C, CO)).astype("f4"))
+            up = jax.image.resize(x, (2, 2 * N, 2 * M, C), method="bilinear")
+            ref = jax.lax.conv_general_dilated(
+                up, W, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            got = fused_up2_conv(x, W)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+            )
