@@ -255,12 +255,12 @@ def bench_topdown_latency():
 
 
 def bench_bottomup():
-    # Batch sweep (round 2, fused Pallas peaks + matmul PAF sampling):
-    # 8 -> 674 FPS, 16 -> 724, 32 -> 779. No crop stage, so no batch-32
-    # cliff like top-down; 32 is the throughput sweet spot.
-    predictor = build_bottomup_predictor(batch=32)
+    # Batch sweep (round 2, after split/fused decoder convs + subset-DP LAP):
+    # 32 -> 1094 FPS, 48 -> 1200, 64 -> 1211. No crop stage, so no batch-32
+    # cliff like top-down; 64 is the throughput sweet spot.
+    predictor = build_bottomup_predictor(batch=64)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 32, IMG, n_iters=30)
+    fps, _ = bench_infer_fps(infer, 64, IMG, n_iters=20)
     return {
         "metric": "bottomup_inference_fps_1024",
         "value": round(fps, 2),

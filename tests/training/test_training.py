@@ -300,3 +300,55 @@ def test_train_unet_space_to_depth(tiny_labels, tmp_path):
     c.outputs.runs_folder = str(tmp_path)
     c.outputs.run_name = "s2d"
     _run(c, tiny_labels)
+
+
+@pytest.mark.slow
+def test_train_evaluate_then_predict_own_checkpoint(tiny_labels, tmp_path):
+    """The reference's fixture-checkpoint cycle on OUR artifacts: train a
+    tiny bottom-up model, let post-training evaluation write labels_pr +
+    metrics, then load the run folder with sleap_tpu.load_model and predict
+    (reference tests run real predictors on trained fixture models,
+    tests/nn/test_inference.py:637-907)."""
+    import os
+
+    import sleap_tpu
+
+    c = _base_cfg(tmp_path, "bu_roundtrip")
+    c.model.backbone.unet.filters = 8
+    c.optimization.epochs = 15
+    c.optimization.batches_per_epoch = 6
+    c.optimization.initial_learning_rate = 5e-3
+    c.model.heads.multi_instance = cfg.MultiInstanceConfig(
+        confmaps=cfg.MultiInstanceConfmapsHeadConfig(output_stride=2, sigma=3.0),
+        pafs=cfg.PartAffinityFieldsHeadConfig(output_stride=2, sigma=3.0),
+    )
+    trainer = Trainer.from_config(
+        c, training_labels=tiny_labels, validation_labels=tiny_labels
+    )
+    trainer.train()  # evaluate() NOT mocked: writes labels_pr + metrics
+
+    for artifact in (
+        "labels_pr.val.slp",
+        "metrics.val.npz",
+        "labels_pr.train.slp",
+        "metrics.train.npz",
+    ):
+        assert os.path.exists(os.path.join(trainer.run_path, artifact)), artifact
+    metrics = sleap_tpu.load_metrics(trainer.run_path, split="val")
+    assert "oks_voc.mAP" in metrics
+
+    predictor = sleap_tpu.load_model(
+        trainer.run_path,
+        batch_size=2,
+        peak_threshold=0.01,  # toy 15-epoch model; peaks are low but placed
+        min_line_scores=-1.0,
+    )
+    preds = predictor.predict(tiny_labels)
+    assert len(preds) > 0
+    assert any(len(lf.predicted_instances) > 0 for lf in preds.labeled_frames)
+    # Coordinates land inside the image.
+    for lf in preds.labeled_frames:
+        for inst in lf.predicted_instances:
+            xy = inst.numpy()
+            ok = ~np.isnan(xy)
+            assert (xy[ok] >= -32).all() and (xy[ok] <= 96).all()
