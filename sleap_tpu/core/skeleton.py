@@ -247,14 +247,16 @@ class Skeleton:
         if isinstance(destination, Node):
             destination = destination.name
 
+        # Reference parity (skeleton.py:1110-1118): unknown endpoints are an
+        # error, not an implicit add_node.
         src_node = self.find_node(source)
         if src_node is None:
-            self.add_node(source)
-            src_node = self.find_node(source)
+            raise ValueError(f"Skeleton does not have source node named ({source}).")
         dst_node = self.find_node(destination)
         if dst_node is None:
-            self.add_node(destination)
-            dst_node = self.find_node(destination)
+            raise ValueError(
+                f"Skeleton does not have destination node named ({destination})."
+            )
 
         if self.has_edge(source, destination):
             raise ValueError(f"Skeleton already has an edge between ({source}) and ({destination}).")

@@ -92,3 +92,101 @@ def test_from_names_and_edge_inds():
     assert skel.n_nodes == 3
     assert skel.edge_inds == [(0, 1), (1, 2)]
     assert skel.is_arborescence
+
+
+def test_symmetry_ops(fly_skeleton):
+    sk = fly_skeleton
+    n = sk.node_names
+    # fly fixture has symmetries? Build fresh to be explicit.
+    from sleap_tpu.core.skeleton import Skeleton
+
+    s = Skeleton("sym")
+    s.add_nodes(["head", "left", "right", "tail"])
+    s.add_edge("head", "tail")
+    s.add_symmetry("left", "right")
+    assert s.symmetry_names == [("left", "right")] or s.symmetry_names == [("right", "left")]
+    assert sorted(s.symmetric_inds[0]) == [1, 2]
+    assert s.get_symmetry("left").name == "right"
+    assert s.get_symmetry("right").name == "left"
+    assert s.get_symmetry("head") is None
+    # flip_idx maps each node to its mirror (identity for unpaired).
+    assert s.flip_idx() == [0, 2, 1, 3]
+    s.delete_symmetry("left", "right")
+    assert s.symmetries == []
+    assert s.flip_idx() == [0, 1, 2, 3]
+
+
+def test_edge_index_helpers():
+    from sleap_tpu.core.skeleton import Skeleton
+
+    s = Skeleton("e")
+    s.add_nodes(["a", "b", "c"])
+    s.add_edges([("a", "b"), ("b", "c")])
+    assert s.n_edges == 2
+    assert s.edge_inds == [(0, 1), (1, 2)]
+    assert s.edge_to_index("b", "c") == 1
+    assert s.has_edge("a", "b") and not s.has_edge("a", "c")
+    with pytest.raises(ValueError):
+        s.add_edge("a", "b")  # duplicate edge
+    with pytest.raises(ValueError):
+        s.add_edge("a", "zzz")  # unknown node (reference skeleton.py:1110)
+    s.delete_edge("a", "b")
+    assert s.edge_inds == [(1, 2)]
+
+
+def test_delete_node_removes_incident_edges():
+    from sleap_tpu.core.skeleton import Skeleton
+
+    s = Skeleton("d")
+    s.add_nodes(["a", "b", "c"])
+    s.add_edges([("a", "b"), ("b", "c")])
+    s.delete_node("b")
+    assert s.node_names == ["a", "c"]
+    assert s.edges == []
+
+
+def test_is_arborescence():
+    from sleap_tpu.core.skeleton import Skeleton
+
+    s = Skeleton("t")
+    s.add_nodes(["a", "b", "c"])
+    s.add_edges([("a", "b"), ("a", "c")])
+    assert s.is_arborescence
+    s.add_edge("b", "c")  # two parents for c
+    assert not s.is_arborescence
+
+
+def test_skeleton_matches_and_eq():
+    from sleap_tpu.core.skeleton import Skeleton
+
+    a = Skeleton.from_names_and_edge_inds(["x", "y"], [(0, 1)], name="A")
+    b = Skeleton.from_names_and_edge_inds(["x", "y"], [(0, 1)], name="B")
+    assert a.matches(b)  # structure match ignores name
+    c = Skeleton.from_names_and_edge_inds(["x", "y"], [], name="A")
+    assert not a.matches(c)
+
+
+def test_template_skeletons_load():
+    """Shipped template skeletons parse (reference sleap/skeletons/*.json)."""
+    from sleap_tpu.core.skeleton import load_template
+
+    for name, n_nodes in [("flies13", 13), ("fly32", 32), ("bees", 21)]:
+        sk = load_template(name)
+        assert sk.n_nodes == n_nodes, name
+        assert sk.n_edges > 0
+
+
+def test_templates_match_reference_files():
+    import os
+
+    ref_dir = "/root/reference/sleap/skeletons"
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference skeletons unavailable")
+    from sleap_tpu.core.skeleton import Skeleton, load_template
+
+    for fn in os.listdir(ref_dir):
+        with open(os.path.join(ref_dir, fn)) as f:
+            ref_sk = Skeleton.from_json(f.read())
+        ours = load_template(os.path.splitext(fn)[0])
+        assert ours.node_names == ref_sk.node_names, fn
+        assert ours.edge_inds == ref_sk.edge_inds, fn
