@@ -34,7 +34,7 @@ from sleap_tpu.core.instance import (
 )
 from sleap_tpu.core.labels import Labels, SuggestionFrame
 from sleap_tpu.core.skeleton import Node, Skeleton
-from sleap_tpu.io.video import HDF5Video, Video
+from sleap_tpu.io.video import HDF5Video, NumpyVideo, Video
 
 FORMAT_ID = 1.2
 
@@ -287,7 +287,28 @@ def write_labels(
 
         # Videos: embedded videos point at this file via filename ".".
         videos_json = []
-        for video in videos:
+        for i, video in enumerate(videos):
+            if isinstance(video.backend, NumpyVideo):
+                # In-memory arrays would otherwise serialize as a dead
+                # "numpy_video" reference; embed the raw frames so the
+                # project round-trips (the reference reads it back as a
+                # plain HDF5 dataset video).
+                ds_name = f"video{i}_raw"
+                if ds_name not in f:
+                    f.create_dataset(
+                        ds_name, data=video.backend._data(), compression="gzip"
+                    )
+                d = {
+                    "backend": {
+                        "type": "HDF5Video",
+                        "filename": ".",
+                        "dataset": ds_name,
+                        "input_format": "channels_last",
+                        "convert_range": False,
+                    }
+                }
+                videos_json.append(np.bytes_(json.dumps(d, separators=(",", ":"))))
+                continue
             d = video.to_dict()
             if (
                 save_frame_data

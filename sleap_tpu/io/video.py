@@ -528,7 +528,13 @@ class Video:
         if isinstance(fn_a, np.ndarray) or isinstance(fn_b, np.ndarray):
             # Numpy-backed videos: identity, not elementwise comparison.
             return fn_a is fn_b
-        return fn_a == fn_b
+        if fn_a != fn_b:
+            return False
+        # Same file can hold many videos (e.g. several embedded datasets in
+        # one .pkg.slp) — distinguish by dataset when the backend has one.
+        return getattr(self.backend, "dataset", None) == getattr(
+            other.backend, "dataset", None
+        )
 
     def __hash__(self) -> int:
         return id(self)

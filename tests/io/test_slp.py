@@ -139,3 +139,95 @@ def test_build_and_save_from_scratch(tmp_path):
     assert pred.score == pytest.approx(0.85)
     assert pred.track.name == "animal0"
     np.testing.assert_allclose(pred.scores, [0.9, 0.8, 0.7])
+
+
+def test_suggestions_roundtrip(tmp_path):
+    import numpy as np
+
+    from sleap_tpu.core.instance import Instance, LabeledFrame
+    from sleap_tpu.core.labels import Labels, SuggestionFrame
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.io.video import Video
+
+    sk = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    video = Video.from_numpy(np.zeros((4, 8, 8, 1), np.uint8))
+    labels = Labels(
+        labeled_frames=[
+            LabeledFrame(video=video, frame_idx=0, instances=[Instance(skeleton=sk)])
+        ],
+        suggestions=[
+            SuggestionFrame(video=video, frame_idx=2, group=0),
+            SuggestionFrame(video=video, frame_idx=3, group=1),
+        ],
+    )
+    out = str(tmp_path / "sugg.slp")
+    labels.save(out)
+    loaded = Labels.load_file(out)
+    assert [(s.frame_idx, s.group) for s in loaded.suggestions] == [(2, 0), (3, 1)]
+    assert loaded.suggestions[0].video is loaded.videos[0]
+
+
+def test_provenance_roundtrip(tmp_path):
+    import numpy as np
+
+    from sleap_tpu.core.instance import Instance, LabeledFrame
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.io.video import Video
+
+    sk = Skeleton.from_names_and_edge_inds(["a"], [], name="S")
+    video = Video.from_numpy(np.zeros((1, 8, 8, 1), np.uint8))
+    labels = Labels(
+        labeled_frames=[
+            LabeledFrame(video=video, frame_idx=0, instances=[Instance(skeleton=sk)])
+        ],
+        provenance={"model_paths": ["m1", "m2"], "sleap_version": "x"},
+    )
+    out = str(tmp_path / "prov.slp")
+    labels.save(out)
+    loaded = Labels.load_file(out)
+    assert loaded.provenance["model_paths"] == ["m1", "m2"]
+
+
+def test_multi_video_multi_skeleton_roundtrip(tmp_path):
+    import numpy as np
+
+    from sleap_tpu.core.instance import Instance, LabeledFrame, Track
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.io.video import Video
+
+    sk1 = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="one")
+    sk2 = Skeleton.from_names_and_edge_inds(["x", "y", "z"], [(0, 1), (1, 2)], name="two")
+    v1 = Video.from_numpy(np.zeros((2, 8, 8, 1), np.uint8))
+    v2 = Video.from_numpy(np.full((3, 6, 6, 1), 7, np.uint8))
+    t = Track(spawned_on=1, name="track-1")
+    labels = Labels(
+        labeled_frames=[
+            LabeledFrame(
+                video=v1, frame_idx=0,
+                instances=[Instance(skeleton=sk1, points=np.array([[1.0, 2.0], [3.0, 4.0]]))],
+            ),
+            LabeledFrame(
+                video=v2, frame_idx=1,
+                instances=[
+                    Instance(
+                        skeleton=sk2,
+                        points=np.array([[1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]),
+                        track=t,
+                    )
+                ],
+            ),
+        ]
+    )
+    out = str(tmp_path / "multi.slp")
+    labels.save(out)
+    loaded = Labels.load_file(out)
+    assert len(loaded.videos) == 2
+    assert sorted(s.name for s in loaded.skeletons) == ["one", "two"]
+    assert loaded.tracks[0].name == "track-1"
+    assert loaded.tracks[0].spawned_on == 1
+    lf2 = [lf for lf in loaded if lf.video == loaded.videos[1]][0]
+    assert lf2.instances[0].skeleton.node_names == ["x", "y", "z"]
+    # Second video's embedded shape/content survives.
+    assert loaded.videos[1].get_frame(0).max() == 7
