@@ -523,7 +523,11 @@ class EncoderDecoderNet(nn.Module):
                  interp, skip_conn, skip_add, n_refine, r_first, r_filters,
                  r_ksize, r_bias, r_bn, r_act) = blk
                 # Fused path: bilinear 2x upsample + skip-concat + first
-                # refine conv collapse into one low-res subpixel conv.
+                # refine conv collapse into one low-res subpixel conv. Only
+                # worth it on large maps: measured on TPU, >=64^2 pre-upsample
+                # wins (bottom-up @1024^2: +13%), while small crop-model maps
+                # (20-40^2) lose to the border-strip recompute overhead
+                # (top-down @160^2 crops: -8%).
                 if (
                     not t_conv
                     and interp == "bilinear"
@@ -532,6 +536,7 @@ class EncoderDecoderNet(nn.Module):
                     and skip is not None
                     and not skip_add
                     and n_refine > 0
+                    and min(x.shape[1], x.shape[2]) >= 64
                 ):
                     filters0 = r_first if r_first is not None else r_filters
                     x = _FusedUpSplitConv(
