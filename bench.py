@@ -289,7 +289,7 @@ def bench_tracking_e2e(n_frames=1000):
     from sleap_tpu.ops.optical_flow import lk_flow
     from sleap_tpu.tracking.components import hungarian_matching
 
-    CHUNK = 16  # frames per scan iteration: batch the UNet + LK, and amortize
+    CHUNK = 32  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
     predictor = build_bottomup_predictor(batch=CHUNK)
     infer = predictor._build_infer_fn().__wrapped__

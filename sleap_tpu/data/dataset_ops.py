@@ -222,3 +222,40 @@ def split_labels_train_val(labels, validation_fraction: float, seed: Optional[in
     train = Labels([lfs[i] for i in range(len(lfs)) if i not in val_idx])
     val = Labels([lfs[i] for i in sorted(val_idx)])
     return train, val
+
+
+def group_examples(examples: Iterable[dict]) -> Dict[tuple, List[dict]]:
+    """Group inference examples by (video_ind, frame_ind).
+
+    Reference analog: ``/root/reference/sleap/nn/data/grouping.py:8``.
+    """
+    grouped: Dict[tuple, List[dict]] = {}
+    for example in examples:
+        key = (
+            int(np.asarray(example["video_ind"]).squeeze()),
+            int(np.asarray(example["frame_ind"]).squeeze()),
+        )
+        grouped.setdefault(key, []).append(example)
+    return grouped
+
+
+def group_examples_iter(examples: Iterable[dict]):
+    """Stream (key, [examples]) groups over consecutive same-frame runs.
+
+    Reference analog: ``grouping.py:22`` (assumes frame-sorted input, like
+    the per-instance examples a top-down pipeline emits).
+    """
+    last_key, batch = None, []
+    for example in examples:
+        key = (
+            int(np.asarray(example["video_ind"]).squeeze()),
+            int(np.asarray(example["frame_ind"]).squeeze()),
+        )
+        if last_key != key:
+            if batch:
+                yield last_key, batch
+            last_key, batch = key, [example]
+        else:
+            batch.append(example)
+    if batch:
+        yield last_key, batch

@@ -194,3 +194,22 @@ def test_split_labels_train_val(labels):
     assert len(train) == 3 and len(val) == 1
     all_idx = {lf.frame_idx for lf in train} | {lf.frame_idx for lf in val}
     assert all_idx == {0, 1, 2, 3}
+
+
+def test_group_examples():
+    from sleap_tpu.data.dataset_ops import group_examples, group_examples_iter
+
+    exs = [
+        {"video_ind": np.array([0]), "frame_ind": np.array([0]), "x": 1},
+        {"video_ind": np.array([0]), "frame_ind": np.array([0]), "x": 2},
+        {"video_ind": np.array([0]), "frame_ind": np.array([1]), "x": 3},
+        {"video_ind": np.array([1]), "frame_ind": np.array([0]), "x": 4},
+    ]
+    grouped = group_examples(exs)
+    assert [e["x"] for e in grouped[(0, 0)]] == [1, 2]
+    assert [e["x"] for e in grouped[(1, 0)]] == [4]
+
+    keys = [k for k, _ in group_examples_iter(exs)]
+    assert keys == [(0, 0), (0, 1), (1, 0)]
+    sizes = [len(b) for _, b in group_examples_iter(exs)]
+    assert sizes == [2, 1, 1]
