@@ -291,6 +291,7 @@ def bench_tracking_e2e(n_frames=1000):
 
     CHUNK = 32  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
+    # Sweep: 16 -> 862 FPS, 32 -> 896.
     predictor = build_bottomup_predictor(batch=CHUNK)
     infer = predictor._build_infer_fn().__wrapped__
     K_INST, SCALE = 3, 0.25
