@@ -514,12 +514,14 @@ def load_config(filename: Text, load_training_config: bool = True) -> TrainingJo
 # --------------------------------------------------------------------------- #
 
 _COMMENT_RE = re.compile(r"^\s*//.*$", re.MULTILINE)
+_BLOCK_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
 
 
 def _strip_comments(text: str) -> str:
-    """Allow //-style line comments (the reference runs configs through
-    jsmin, training_job.py:163)."""
-    return _COMMENT_RE.sub("", text)
+    """Allow //-line and /* block */ comments (the reference runs configs
+    through jsmin, training_job.py:163). Whole-line // only, so string
+    values containing e.g. "http://" are untouched."""
+    return _COMMENT_RE.sub("", _BLOCK_COMMENT_RE.sub("", text))
 
 
 def _structure(cls, data):
