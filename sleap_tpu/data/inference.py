@@ -60,16 +60,15 @@ class ModelPredictor:
         from sleap_tpu.data.normalization import ensure_float
 
         for ex in examples:
-            for input_key, output_key in zip(self.model_input_keys, self.model_output_keys):
-                imgs, was3 = _expand_to_rank4(np.asarray(ex[input_key]))
-                out = self.model.module.apply(
-                    self.model.variables, ensure_float(jnp.asarray(imgs)), train=False
+            imgs, was3 = _expand_to_rank4(np.asarray(ex[self.model_input_keys[0]]))
+            out = self.model.module.apply(
+                self.model.variables, ensure_float(jnp.asarray(imgs)), train=False
+            )
+            head_outputs = list(out.values())  # one entry per model head
+            for i, output_key in enumerate(self.model_output_keys):
+                y = np.asarray(
+                    head_outputs[min(i, len(head_outputs) - 1)], dtype=np.float32
                 )
-                heads = list(out.values())[0] if len(out) == 1 else out
-                if isinstance(heads, dict):
-                    # Multi-head: first head by default.
-                    heads = list(heads.values())[0]
-                y = np.asarray(heads, dtype=np.float32)
                 ex[output_key] = y[0] if was3 else y
             yield ex
 
