@@ -259,3 +259,48 @@ def test_paired_sender_receiver_roundtrip():
     finally:
         sender.close()
         receiver.close()
+
+
+def test_occupancy_and_points_matrices_with_gaps():
+    """Occupancy/points matrices mirror the reference analysis layout
+    (reference info/write_tracking_h5.py:59-119): track x frame occupancy,
+    per-frame point/score matrices, NaN where a track is absent."""
+    import numpy as np
+
+    from sleap_tpu.core.instance import LabeledFrame, PredictedInstance, Track
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.info.write_tracking_h5 import get_occupancy_and_points_matrices
+    from sleap_tpu.io.video import Video
+
+    sk = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    video = Video.from_numpy(np.zeros((4, 16, 16, 1), np.uint8))
+    t0, t1 = Track(name="t0"), Track(name="t1")
+
+    def pred(x, track, score):
+        return PredictedInstance.from_arrays(
+            np.array([[x, 0.0], [x, 1.0]]), np.array([0.5, 0.6]), score, sk, track=track
+        )
+
+    lfs = [
+        LabeledFrame(video=video, frame_idx=0, instances=[pred(1, t0, 0.9), pred(2, t1, 0.8)]),
+        # frame 1: t1 missing
+        LabeledFrame(video=video, frame_idx=1, instances=[pred(3, t0, 0.7)]),
+        LabeledFrame(video=video, frame_idx=3, instances=[pred(4, t1, 0.6)]),
+    ]
+    labels = Labels(lfs)
+    occupancy, points, point_scores, inst_scores, tracking_scores = (
+        get_occupancy_and_points_matrices(labels, all_frames=True)
+    )
+    n_tracks, n_frames = occupancy.shape
+    assert (n_tracks, n_frames) == (2, 4)
+    np.testing.assert_array_equal(occupancy[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(occupancy[1], [1, 0, 0, 1])
+    # points: (frames, nodes, 2, tracks)
+    assert points.shape == (4, 2, 2, 2)
+    assert points[0, 0, 0, 0] == 1.0
+    assert points[3, 0, 0, 1] == 4.0
+    assert np.isnan(points[2]).all()  # empty frame
+    assert inst_scores.shape == (4, 2)
+    assert inst_scores[0, 0] == 0.9 and np.isnan(inst_scores[2, 0])
+    assert point_scores.shape == (4, 2, 2)
