@@ -37,43 +37,44 @@ def compute_oks(
     stddev: float = 0.025,
     use_cocoeval: bool = True,
 ) -> np.ndarray:
-    """COCO-style object keypoint similarity, (n_gt, n_pr)."""
-    if points_gt.ndim == 2:
-        points_gt = np.expand_dims(points_gt, axis=0)
-    if points_pr.ndim == 2:
-        points_pr = np.expand_dims(points_pr, axis=0)
-    if scale is None:
-        scale = compute_instance_area(points_gt)
+    """COCO-style object keypoint similarity, (n_gt, n_pr).
 
-    n_gt, n_nodes, n_ed = points_gt.shape
-    n_pr = points_pr.shape[0]
-    if np.isscalar(scale):
-        scale = np.full(n_gt, scale)
-    if np.isscalar(stddev):
-        stddev = np.full(n_nodes, stddev)
+    Implements OKS = mean over visible GT nodes of exp(-d^2 / denom) with the
+    cocoeval denominator 2*(area+eps)*(2*sigma)^2 (or the paper's
+    2*(area+eps)^2*sigma^2 variant when ``use_cocoeval=False``); semantics
+    match ``/root/reference/sleap/nn/evals.py:134`` (the published COCO
+    formula) via a masked-mean formulation.
+    """
+    gt = np.asarray(points_gt, dtype=np.float64)
+    pr = np.asarray(points_pr, dtype=np.float64)
+    if gt.ndim == 2:
+        gt = gt[None]
+    if pr.ndim == 2:
+        pr = pr[None]
 
-    displacement = points_gt.reshape(n_gt, 1, n_nodes, n_ed) - points_pr.reshape(
-        1, n_pr, n_nodes, n_ed
-    )
-    distance = (displacement**2).sum(axis=-1)  # (n_gt, n_pr, n_nodes)
+    box_area = compute_instance_area(gt) if scale is None else scale
+    area = np.broadcast_to(np.float64(box_area), (gt.shape[0],)).astype(np.float64)
+    sigma = np.broadcast_to(np.float64(stddev), (gt.shape[1],)).astype(np.float64)
 
+    eps = np.finfo(np.float64).eps
     if use_cocoeval:
-        spread_factor = (2 * stddev) ** 2
-        scale_factor = 2 * (scale + np.spacing(1))
+        # cocoeval convention: vars = (2*sigma)^2, denom = vars * 2*(area+eps)
+        denom = (4.0 * sigma**2)[None, None, :] * (2.0 * (area + eps))[:, None, None]
     else:
-        spread_factor = stddev**2
-        scale_factor = 2 * ((scale + np.spacing(1)) ** 2)
-    normalization = spread_factor.reshape(1, 1, n_nodes) * scale_factor.reshape(
-        n_gt, 1, 1
-    )
+        # Original OKS paper convention.
+        denom = (sigma**2)[None, None, :] * (2.0 * (area + eps) ** 2)[:, None, None]
 
-    missing_pr = np.any(np.isnan(points_pr), axis=-1)
-    distance[:, missing_pr] = np.inf
-    ks = np.exp(-(distance / normalization))
-    missing_gt = np.any(np.isnan(points_gt), axis=-1)
-    ks[np.expand_dims(missing_gt, axis=1)] = 0
-    n_visible_gt = np.sum((~missing_gt).astype("float64"), axis=-1, keepdims=True)
-    return np.sum(ks, axis=-1) / n_visible_gt
+    # Squared per-node distances over the (gt, pr) cross product.
+    sq_dist = np.square(gt[:, None] - pr[None]).sum(axis=-1)  # (n_gt, n_pr, nodes)
+    node_sim = np.exp(-sq_dist / denom)
+
+    # A node missing in the prediction contributes zero similarity; a node
+    # missing in the GT is excluded from both numerator and denominator.
+    visible_gt = ~np.isnan(gt).any(axis=-1)  # (n_gt, nodes)
+    visible_pr = ~np.isnan(pr).any(axis=-1)  # (n_pr, nodes)
+    node_sim = np.where(visible_pr[None, :, :], node_sim, 0.0)
+    node_sim = np.where(visible_gt[:, None, :], node_sim, 0.0)
+    return node_sim.sum(axis=-1) / visible_gt.sum(axis=-1, keepdims=True)
 
 
 def find_frame_pairs(
@@ -178,33 +179,56 @@ def compute_generalized_voc_metrics(
     recall_thresholds: np.ndarray = np.linspace(0, 1, 101),
     name: str = "voc",
 ) -> Dict[str, Any]:
-    """COCO-style AP/AR with 101-point precision interpolation
-    (reference evals.py:402)."""
-    detection_scores = np.array([pp[1].score for pp in positive_pairs])
-    inds = np.argsort(-detection_scores, kind="mergesort")
-    detection_scores = detection_scores[inds]
-    match_scores = np.asarray(match_scores)[inds]
+    """COCO-style AP/AR with 101-point precision interpolation.
 
-    precisions, recalls = [], []
-    npig = len(positive_pairs) + len(false_negatives)
-    for thresh in match_score_thresholds:
-        tp = np.cumsum(match_scores >= thresh)
-        fp = np.cumsum(match_scores < thresh)
-        rc = tp / npig
-        pr = tp / (fp + tp + np.spacing(1))
-        recall = rc[-1] if len(rc) else 0.0
-        for i in range(len(pr) - 1, 0, -1):
-            if pr[i] > pr[i - 1]:
-                pr[i - 1] = pr[i]
-        rc_inds = np.searchsorted(rc, recall_thresholds, side="left")
-        precision = np.zeros(rc_inds.shape)
-        valid = rc_inds < len(pr)
-        precision[valid] = pr[rc_inds[valid]]
-        precisions.append(precision)
-        recalls.append(recall)
+    Semantics follow the published COCOeval accumulation (reference
+    ``evals.py:402``), vectorized over all match-score thresholds at once:
+    one (T, N) true-positive cumsum, a flip/`maximum.accumulate`/flip
+    right-to-left precision envelope, and a broadcast strict-less-than count
+    in place of per-threshold ``searchsorted``.
+    """
+    # Rank detections by confidence (stable sort so ties keep input order),
+    # and carry the match quality along.
+    confidences = np.asarray([pair[1].score for pair in positive_pairs])
+    order = np.argsort(-confidences, kind="mergesort")
+    match_scores = np.asarray(match_scores)[order]
 
-    precisions = np.array(precisions)
-    recalls = np.array(recalls)
+    n_det = match_scores.size
+    n_positives = len(positive_pairs) + len(false_negatives)
+    thresholds = np.asarray(match_score_thresholds, dtype=np.float64)
+    eps = np.finfo(np.float64).eps
+
+    # (T, N) cumulative true positives at each detection rank, per threshold.
+    is_tp = match_scores[None, :] >= thresholds[:, None]
+    tp_cum = np.cumsum(is_tp, axis=1).astype(np.float64)
+    rank = np.arange(1, n_det + 1, dtype=np.float64)  # fp+tp at each rank
+
+    recall_curve = tp_cum / n_positives
+    precision_curve = tp_cum / (rank[None, :] + eps)
+    # Right-to-left running max: precision at recall r is the best precision
+    # achievable at any rank with recall >= r (the COCO envelope).
+    precision_env = np.flip(
+        np.maximum.accumulate(np.flip(precision_curve, axis=1), axis=1), axis=1
+    )
+
+    if n_det:
+        recalls = recall_curve[:, -1]
+        # First rank whose recall reaches each sample point (count of strictly
+        # smaller recalls == left-bisection into the nondecreasing curve).
+        sample_idx = (
+            recall_curve[:, :, None] < recall_thresholds[None, None, :]
+        ).sum(axis=1)
+        reachable = sample_idx < n_det
+        precisions = np.where(
+            reachable,
+            np.take_along_axis(
+                precision_env, np.minimum(sample_idx, n_det - 1), axis=1
+            ),
+            0.0,
+        )
+    else:
+        recalls = np.zeros(thresholds.shape)
+        precisions = np.zeros((thresholds.size, np.asarray(recall_thresholds).size))
     return {
         f"{name}.match_score_thresholds": match_score_thresholds,
         f"{name}.recall_thresholds": recall_thresholds,

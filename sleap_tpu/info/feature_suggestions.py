@@ -10,6 +10,7 @@ to suggest for labeling.
 from __future__ import annotations
 
 import logging
+import os
 from typing import List, Optional
 
 import attr
@@ -173,12 +174,29 @@ class ParallelFeaturePipeline:
 
         tuples: List[tuple] = []
         if jobs:
-            if len(jobs) == 1:
-                tuples.extend(_suggest_one_video(jobs[0]))
-            else:
-                from multiprocessing import Pool
+            import __main__
 
-                with Pool(processes=min(len(jobs), 4)) as pool:
+            main_file = getattr(__main__, "__file__", None)
+            spawnable = main_file is None or os.path.exists(main_file)
+            if len(jobs) == 1 or not spawnable:
+                # Interactive / stdin parents can't be re-imported by
+                # spawn/forkserver children (the Pool would respawn dying
+                # workers forever) — run in-process instead.
+                for job in jobs:
+                    tuples.extend(_suggest_one_video(job))
+            else:
+                # Not plain fork: the parent holds live JAX/XLA threads and
+                # fork() under a multithreaded runtime can deadlock children.
+                # Forkserver forks from a clean single-threaded server and,
+                # unlike spawn, does not re-import __main__ (so stdin-driven
+                # scripts work too).
+                import multiprocessing
+
+                try:
+                    ctx = multiprocessing.get_context("forkserver")
+                except ValueError:  # platform without forkserver
+                    ctx = multiprocessing.get_context("spawn")
+                with ctx.Pool(processes=min(len(jobs), 4)) as pool:
                     for result in pool.map(_suggest_one_video, jobs):
                         tuples.extend(result)
         suggestions = [

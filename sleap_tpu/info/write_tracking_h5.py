@@ -58,9 +58,15 @@ def get_occupancy_and_points_matrices(
     instance_scores = np.full((frame_count, track_count), np.nan)
     tracking_scores = np.full((frame_count, track_count), np.nan)
 
+    # Per (frame, track): a user-labeled instance takes priority over any
+    # prediction on the same track (reference :133-152) — a manual correction
+    # must never be overwritten by the model's output in the exported file.
     tracks = labels.tracks or [None]
+    multi_warned = False
     for lf in labeled_frames:
         fi = lf.frame_idx - first_frame_idx
+        user_by_track: Dict[int, list] = {}
+        pred_by_track: Dict[int, list] = {}
         for inst in lf.instances:
             if inst.track in tracks:
                 ti = tracks.index(inst.track)
@@ -68,12 +74,23 @@ def get_occupancy_and_points_matrices(
                 ti = 0
             else:
                 continue
-            occupancy[ti, fi] = 1
-            locations[fi, :, :, ti] = inst.numpy()
-            if hasattr(inst, "scores"):
-                point_scores[fi, :, ti] = inst.scores
-                instance_scores[fi, ti] = inst.score
-                tracking_scores[fi, ti] = inst.tracking_score
+            bucket = pred_by_track if hasattr(inst, "scores") else user_by_track
+            bucket.setdefault(ti, []).append(inst)
+        for ti in set(user_by_track) | set(pred_by_track):
+            chosen = user_by_track.get(ti) or pred_by_track.get(ti, [])
+            if len(chosen) > 1 and tracks[0] is not None and not multi_warned:
+                multi_warned = True
+                print(
+                    "\nWarning! "
+                    "There are more than one instances per track on a single frame.\n"
+                )
+            for inst in chosen:
+                occupancy[ti, fi] = 1
+                locations[fi, :, :, ti] = inst.numpy()
+                if hasattr(inst, "scores"):
+                    point_scores[fi, :, ti] = inst.scores
+                    instance_scores[fi, ti] = inst.score
+                    tracking_scores[fi, ti] = inst.tracking_score
     return occupancy, locations, point_scores, instance_scores, tracking_scores
 
 

@@ -418,9 +418,10 @@ class SingleImageVideo:
 
 @attr.s(auto_attribs=True, eq=False)
 class ImgStoreVideo:
-    """Frames stored as a loopbio ImgStore dataset (gated on the ``imgstore``
-    package; reference video.py:611-818). Construction raises with guidance
-    when the package is absent — it is not baked into this environment."""
+    """Frames stored as a loopbio ImgStore dataset (reference
+    video.py:611-818). Uses the real ``imgstore`` package when installed;
+    otherwise falls back to the vendored directory-store implementation in
+    :mod:`sleap_tpu.io.dirimgstore` (PNG directory stores only)."""
 
     filename: str = ""
     index_by_original: bool = True
@@ -428,12 +429,8 @@ class ImgStoreVideo:
     def __attrs_post_init__(self):
         try:
             import imgstore  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "ImgStoreVideo requires the 'imgstore' package, which is not "
-                "available in this environment. Convert the store to HDF5 or "
-                "mp4, or use Video.from_filename on the source media."
-            ) from e
+        except ImportError:
+            from sleap_tpu.io import dirimgstore as imgstore
         self._store = imgstore.new_for_filename(self._store_path())
         self._img, (frame_number, _) = self._store.get_next_image()
 
@@ -713,16 +710,13 @@ class Video:
         format: str = "png",
         index_by_original: bool = True,
     ) -> "Video":
-        """Copy frames into a loopbio ImgStore (gated on the ``imgstore``
-        package; reference video.py:1318-1397)."""
+        """Copy frames into a loopbio ImgStore (reference video.py:1318-1397).
+        Falls back to the vendored :mod:`sleap_tpu.io.dirimgstore` when the
+        ``imgstore`` package is absent."""
         try:
             import imgstore
-        except ImportError as e:
-            raise ImportError(
-                "Video.to_imgstore requires the 'imgstore' package, which is "
-                "not available in this environment. Use Video.to_hdf5 for an "
-                "equivalent self-contained frame store."
-            ) from e
+        except ImportError:
+            from sleap_tpu.io import dirimgstore as imgstore
         if frame_numbers is None:
             frame_numbers = list(range(self.num_frames))
         store = imgstore.new_for_format(
@@ -735,8 +729,12 @@ class Video:
         import time
 
         for i in frame_numbers:
+            store.add_image(self.get_frame(i), i, time.time())
+        if not frame_numbers:
             store.add_image(
-                self.get_frame(i), i if index_by_original else 0, time.time()
+                np.zeros((self.height, self.width, self.channels), np.uint8),
+                0,
+                time.time(),
             )
         store.close()
         return Video(

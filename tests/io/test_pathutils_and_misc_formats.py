@@ -71,9 +71,53 @@ def test_nix_read_is_write_only(tmp_path):
         formats.read(str(p))
 
 
-def test_imgstore_gated():
-    with pytest.raises(ImportError, match="imgstore"):
-        ImgStoreVideo(filename="/tmp/whatever")
+def test_imgstore_roundtrip(tmp_path):
+    """to_imgstore -> ImgStoreVideo roundtrip via the vendored directory
+    store (reference io/video.py:611-818, 1318-1397)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, size=(7, 12, 16, 1), dtype=np.uint8)
+    video = Video.from_numpy(frames)
+    store_dir = str(tmp_path / "store")
+    # Select a sparse subset of original frame numbers; chunksize in the
+    # vendored writer is exercised across chunk boundaries elsewhere.
+    iv = video.to_imgstore(store_dir, frame_numbers=[1, 3, 6])
+    assert isinstance(iv.backend, ImgStoreVideo)
+    assert iv.num_frames == 3
+    # index_by_original=True: fetch by original frame number.
+    np.testing.assert_array_equal(iv.get_frame(3), frames[3])
+    np.testing.assert_array_equal(iv.get_frame(6), frames[6])
+    # index_by_original=False: fetch by store position.
+    iv2 = Video(backend=ImgStoreVideo(filename=store_dir, index_by_original=False))
+    np.testing.assert_array_equal(iv2.get_frame(0), frames[1])
+    np.testing.assert_array_equal(iv2.get_frame(2), frames[6])
+    assert (iv.height, iv.width, iv.channels) == (12, 16, 1)
+
+
+def test_imgstore_chunk_boundaries(tmp_path):
+    """Stores spanning multiple chunks read back correctly."""
+    import numpy as np
+
+    from sleap_tpu.io import dirimgstore
+
+    frames = np.arange(5 * 4 * 4, dtype=np.uint8).reshape(5, 4, 4)
+    store = dirimgstore.new_for_format(
+        "png", basedir=str(tmp_path / "s"), imgshape=(4, 4), chunksize=2
+    )
+    for i, f in enumerate(frames):
+        store.add_image(f, i * 10, float(i))
+    store.close()
+
+    rd = dirimgstore.new_for_filename(str(tmp_path / "s"))
+    assert rd.frame_count == 5
+    assert (rd.frame_min, rd.frame_max) == (0, 40)
+    img, (fn, ft) = rd.get_image(frame_number=30)
+    np.testing.assert_array_equal(img, frames[3])
+    assert (fn, ft) == (30, 3.0)
+    img, (fn, _) = rd.get_next_image()  # cursor advanced past 30
+    assert fn == 40
+    np.testing.assert_array_equal(img, frames[4])
 
 
 def test_pretrained_encoder_builds():

@@ -304,3 +304,51 @@ def test_occupancy_and_points_matrices_with_gaps():
     assert inst_scores.shape == (4, 2)
     assert inst_scores[0, 0] == 0.9 and np.isnan(inst_scores[2, 0])
     assert point_scores.shape == (4, 2, 2)
+
+
+def test_occupancy_matrices_prefer_user_over_predicted():
+    """A user-labeled instance on a track supersedes the prediction on the
+    same (frame, track) cell (reference info/write_tracking_h5.py:133-152)."""
+    import numpy as np
+
+    from sleap_tpu.core.instance import (
+        Instance,
+        LabeledFrame,
+        PredictedInstance,
+        Track,
+    )
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.info.write_tracking_h5 import get_occupancy_and_points_matrices
+    from sleap_tpu.io.video import Video
+
+    sk = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)], name="S")
+    video = Video.from_numpy(np.zeros((2, 16, 16, 1), np.uint8))
+    t0, t1 = Track(name="t0"), Track(name="t1")
+
+    pred_t0 = PredictedInstance.from_arrays(
+        np.array([[10.0, 0.0], [10.0, 1.0]]), np.array([0.5, 0.6]), 0.9, sk, track=t0
+    )
+    user_t0 = Instance.from_numpy(
+        np.array([[99.0, 0.0], [99.0, 1.0]]), sk, track=t0
+    )
+    pred_t1 = PredictedInstance.from_arrays(
+        np.array([[20.0, 0.0], [20.0, 1.0]]), np.array([0.7, 0.8]), 0.8, sk, track=t1
+    )
+    # Order puts the prediction AFTER the user fix so naive last-write-wins
+    # would clobber the correction.
+    lf = LabeledFrame(
+        video=video, frame_idx=0, instances=[user_t0, pred_t0, pred_t1]
+    )
+    labels = Labels([lf])
+    occupancy, points, point_scores, inst_scores, _ = (
+        get_occupancy_and_points_matrices(labels, all_frames=True)
+    )
+    # Track t0: the user's coordinates win; no scores (user instances have none).
+    assert points[0, 0, 0, 0] == 99.0
+    assert np.isnan(point_scores[0, :, 0]).all()
+    assert np.isnan(inst_scores[0, 0])
+    # Track t1 still comes from the prediction.
+    assert points[0, 0, 0, 1] == 20.0
+    assert inst_scores[0, 1] == 0.8
+    np.testing.assert_array_equal(occupancy[:, 0], [1, 1])
