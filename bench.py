@@ -328,7 +328,9 @@ def bench_tracking_e2e(n_frames=1000):
             ts = (c * CHUNK + jnp.arange(CHUNK)).astype(jnp.float32)
             frames = jax.vmap(render)(ts)  # (CHUNK, IMG, IMG, 1)
             out = infer(frames)
-            peaks = out["peaks"]  # (CHUNK, N, K_peaks, 2) model-input px
+            # Assembled instances straight from the on-chip pipeline
+            # (grouping included): (CHUNK, M, N, 2), creation-ordered.
+            inst = out["instances"]
             # Flow-shift each previous frame's node positions into its
             # successor (the tracker's candidate generation), at 0.25 image
             # scale like the reference FlowTracker default. All CHUNK
@@ -350,7 +352,7 @@ def bench_tracking_e2e(n_frames=1000):
             )(prev_smalls, smalls, prev_pts)
             peaks_out = lax.dynamic_update_slice(
                 peaks_out,
-                peaks[:, :, :K_INST].astype(jnp.float32),
+                inst[:, :K_INST].astype(jnp.float32),
                 (c * CHUNK, 0, 0, 0),
             )
             shifts_out = lax.dynamic_update_slice(
@@ -358,7 +360,7 @@ def bench_tracking_e2e(n_frames=1000):
             )
             return (peaks_out, shifts_out)
 
-        peaks0 = jnp.zeros((n_frames, N_NODES, K_INST, 2), jnp.float32)
+        peaks0 = jnp.zeros((n_frames, K_INST, N_NODES, 2), jnp.float32)
         shifts0 = jnp.zeros((n_frames, K_INST * N_NODES, 2), jnp.float32)
         peaks, shifts = lax.fori_loop(
             0, n_frames // CHUNK, body, (peaks0, shifts0)
@@ -379,9 +381,10 @@ def bench_tracking_e2e(n_frames=1000):
     t0 = time.perf_counter()
     ids = np.arange(K_INST)
     for t in range(1, n_frames):
-        cand = np.transpose(peaks[t], (1, 0, 2))  # (K_INST, N, 2)
+        cand = peaks[t]  # (K_INST, N, 2) assembled instances
         shifted_prev = shifts[t].reshape(K_INST, N_NODES, 2)
-        d = np.linalg.norm(shifted_prev[:, None] - cand[None], axis=-1).mean(-1)
+        d = np.linalg.norm(shifted_prev[:, None] - cand[None], axis=-1)
+        d = np.nan_to_num(d, nan=1e6).mean(-1)  # NaN nodes = unmatched
         matches = hungarian_matching(d)  # cost = mean node distance
         new_ids = np.empty(K_INST, int)
         for i, j in matches:

@@ -53,8 +53,10 @@ def compute_oks(
         pr = pr[None]
 
     box_area = compute_instance_area(gt) if scale is None else scale
-    area = np.broadcast_to(np.float64(box_area), (gt.shape[0],)).astype(np.float64)
-    sigma = np.broadcast_to(np.float64(stddev), (gt.shape[1],)).astype(np.float64)
+    area = np.broadcast_to(
+        np.asarray(box_area, dtype=np.float64), (gt.shape[0],)
+    )
+    sigma = np.broadcast_to(np.asarray(stddev, dtype=np.float64), (gt.shape[1],))
 
     eps = np.finfo(np.float64).eps
     if use_cocoeval:

@@ -2,9 +2,10 @@
 
 Rebuild of ``/root/reference/sleap/nn/inference.py``
 (``BottomUpInferenceLayer:2737``, ``BottomUpPredictor:3056``). The network
-forward pass, local peak finding, PAF line scoring, and Hungarian matching run
-in one jitted computation; greedy instance assembly runs on host over the
-small matched-connection lists (see :mod:`sleap_tpu.ops.paf_grouping`).
+forward pass, local peak finding, PAF line scoring, Hungarian matching, AND
+greedy instance assembly (masked fixed-iteration scan) all run in one jitted
+computation (see :mod:`sleap_tpu.ops.paf_grouping`); the host only unpacks
+the fixed-size NaN-padded outputs.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ import numpy as np
 from sleap_tpu.core.instance import LabeledFrame, PredictedInstance
 from sleap_tpu.data.providers import batch_examples
 from sleap_tpu.data.prefetch import prefetch
+from sleap_tpu.data.streaming import stage_to_device
 from sleap_tpu.inference.predictors import (
     Predictor,
     TrainedModel,
@@ -112,13 +114,18 @@ class BottomUpPredictor(Predictor):
                 dist_penalty_weight=scorer.dist_penalty_weight,
             )
             dst_for_src, match_scores, match_valid = match_candidates_batch(scores)
+            # Greedy assembly runs on-chip too (masked fixed-iteration scan,
+            # SURVEY §7.5c) — the whole frames->instances pipeline is one
+            # jitted computation with no host post-processing on the hot path.
+            grouped = scorer.group_batch(peaks, vals, dst_for_src, match_scores)
+            instances = grouped["instances"]
+            if input_scale != 1.0:
+                instances = instances / input_scale + 0.5
             return {
-                "peaks": peaks,
-                "peak_vals": vals,
-                "peak_mask": mask,
-                "dst_for_src": dst_for_src,
-                "match_scores": match_scores,
-                "match_valid": match_valid,
+                "instances": instances,
+                "instance_peak_vals": grouped["instance_peak_vals"],
+                "instance_scores": grouped["instance_scores"],
+                "instance_valid": grouped["instance_valid"],
             }
 
         return infer
@@ -127,25 +134,22 @@ class BottomUpPredictor(Predictor):
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
             self._paf_scorer = self._make_paf_scorer()
-        input_scale = self.bottomup_model.input_scale
         total = len(provider)
         done = 0
         t0 = time.time()
-        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
-            out = self._infer_fn(jnp.asarray(batch["image"]))
+        for batch, n_valid, dev_img in stage_to_device(
+            prefetch(batch_examples(provider, self.batch_size))
+        ):
+            out = self._infer_fn(dev_img)
             out = {k: np.asarray(v) for k, v in out.items()}
-            # Host: greedy assembly per sample.
+            # Host: unpack the fixed-size on-chip assembly output into
+            # per-sample ragged lists (tiny bookkeeping only).
             instance_peaks, instance_peak_vals, instance_scores = [], [], []
-            for s in range(out["peaks"].shape[0]):
-                inst, inst_vals, inst_scores = self._paf_scorer.group_sample(
-                    out["peaks"][s],
-                    out["peak_vals"][s],
-                    out["dst_for_src"][s],
-                    out["match_scores"][s],
-                    out["match_valid"][s],
-                )
-                if input_scale != 1.0:
-                    inst = inst / input_scale + 0.5
+            for s in range(out["instances"].shape[0]):
+                keep = out["instance_valid"][s]
+                inst = out["instances"][s][keep]
+                inst_vals = out["instance_peak_vals"][s][keep]
+                inst_scores = out["instance_scores"][s][keep]
                 if self.max_instances is not None and len(inst) > self.max_instances:
                     order = np.argsort(-inst_scores)[: self.max_instances]
                     inst, inst_vals, inst_scores = (

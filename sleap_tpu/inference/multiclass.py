@@ -22,6 +22,7 @@ from sleap_tpu.core.instance import LabeledFrame, PredictedInstance, Track
 from sleap_tpu.data.normalization import ensure_float
 from sleap_tpu.data.providers import batch_examples
 from sleap_tpu.data.prefetch import prefetch
+from sleap_tpu.data.streaming import stage_to_device
 from sleap_tpu.data.resizing import resize_image
 from sleap_tpu.inference.predictors import (
     Predictor,
@@ -156,8 +157,10 @@ class BottomUpMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         total, done, t0 = len(provider), 0, time.time()
-        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
-            out = self._infer_fn(jnp.asarray(batch["image"]))
+        for batch, n_valid, dev_img in stage_to_device(
+            prefetch(batch_examples(provider, self.batch_size))
+        ):
+            out = self._infer_fn(dev_img)
             ex = {k: np.asarray(v) for k, v in out.items()}
             ex.update(
                 image=batch["image"], video_ind=batch["video_ind"],
@@ -374,15 +377,15 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             if gt_mode
             else batch_examples(provider, self.batch_size)
         )
-        for batch, n_valid in prefetch(batches):
+        for batch, n_valid, dev_img in stage_to_device(prefetch(batches)):
             if gt_mode:
                 out = self._infer_fn(
-                    jnp.asarray(batch["image"]),
+                    dev_img,
                     jnp.asarray(batch["centroids"]),
                     jnp.asarray(batch["centroid_mask"]),
                 )
             else:
-                out = self._infer_fn(jnp.asarray(batch["image"]))
+                out = self._infer_fn(dev_img)
             ex = {k: np.asarray(v) for k, v in out.items()}
             ex.update(
                 image=batch["image"], video_ind=batch["video_ind"],

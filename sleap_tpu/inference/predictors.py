@@ -40,6 +40,7 @@ from sleap_tpu.data.providers import (
     provider_needs_size_matching,
 )
 from sleap_tpu.data.prefetch import prefetch
+from sleap_tpu.data.streaming import stage_to_device
 from sleap_tpu.data.resizing import pad_to_stride, resize_image
 from sleap_tpu.io.video import Video
 from sleap_tpu.models.model import Model, find_head
@@ -449,8 +450,10 @@ class SingleInstancePredictor(Predictor):
         done = 0
         t0 = time.time()
         target_hw = provider_needs_size_matching(provider)
-        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size, target_hw)):
-            out = self._infer_fn(jnp.asarray(batch["image"]))
+        for batch, n_valid, dev_img in stage_to_device(
+            prefetch(batch_examples(provider, self.batch_size, target_hw))
+        ):
+            out = self._infer_fn(dev_img)
             ex = {k: np.asarray(v) for k, v in out.items()}
             # Undo host-side size matching (reference inference.py:411-417).
             ex["instance_peaks"] = ex["instance_peaks"] / batch["scale"].reshape(
@@ -834,15 +837,15 @@ class TopDownPredictor(Predictor):
             batches = self._centroid_only_batches(provider)
         else:
             batches = batch_examples(provider, self.batch_size, target_hw)
-        for batch, n_valid in prefetch(batches):
+        for batch, n_valid, dev_img in stage_to_device(prefetch(batches)):
             if gt_mode:
                 out = self._infer_fn(
-                    jnp.asarray(batch["image"]),
+                    dev_img,
                     jnp.asarray(batch["centroids"]),
                     jnp.asarray(batch["centroid_mask"]),
                 )
             else:
-                out = self._infer_fn(jnp.asarray(batch["image"]))
+                out = self._infer_fn(dev_img)
             ex = {k: np.asarray(v) for k, v in out.items()}
             if centroid_only:
                 ex["gt_instances"] = batch["gt_instances"]
@@ -1031,8 +1034,10 @@ class VisualPredictor(Predictor):
         if self._infer_fn is None:
             self._infer_fn = self._build_infer_fn()
         results = []
-        for batch, n_valid in prefetch(batch_examples(provider, self.batch_size)):
-            out = self._infer_fn(jnp.asarray(batch["image"]))
+        for batch, n_valid, dev_img in stage_to_device(
+            prefetch(batch_examples(provider, self.batch_size))
+        ):
+            out = self._infer_fn(dev_img)
             ex = {k: np.asarray(v)[:n_valid] for k, v in out.items()}
             ex["frame_ind"] = batch["frame_ind"][:n_valid]
             ex["video_ind"] = batch["video_ind"][:n_valid]

@@ -153,6 +153,193 @@ def match_candidates_batch(
 
 
 # --------------------------------------------------------------------------- #
+# On-chip assembly
+# --------------------------------------------------------------------------- #
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "edge_inds_tuple",
+        "sorted_edge_inds",
+        "min_line_scores",
+        "min_instance_peaks",
+        "max_instances",
+    ),
+)
+def group_instances_batch(
+    peaks: jnp.ndarray,
+    peak_vals: jnp.ndarray,
+    dst_for_src: jnp.ndarray,
+    match_scores: jnp.ndarray,
+    edge_inds_tuple: Tuple[Tuple[int, int], ...],
+    sorted_edge_inds: Tuple[int, ...],
+    min_line_scores: float = 0.25,
+    min_instance_peaks: int = 0,
+    max_instances: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Greedy instance assembly fully on-chip (SURVEY §7.5c).
+
+    Replicates the reference's sequential dict-based union
+    (``/root/reference/sleap/nn/paf_grouping.py:799-914``) as a masked
+    fixed-iteration ``lax.scan`` over the (edge, src_peak) steps, batched
+    over samples. State is a per-slot instance label (S, N, K) plus an
+    insertion stamp that reproduces the reference's dict-insertion-order
+    overwrite rule when one instance holds two peaks of the same node.
+
+    Args:
+        peaks: (S, N, K, 2) xy peaks (NaN-padded).
+        peak_vals: (S, N, K) peak confidences.
+        dst_for_src: (S, E, K) matched destination peak per source peak.
+        match_scores: (S, E, K) line scores; NaN where the match is padding.
+        edge_inds_tuple: static ((src_node, dst_node), ...) per edge.
+        sorted_edge_inds: static assembly order over edges (toposort).
+        max_instances: static output bound M; defaults to the structural
+            maximum N*K//2 + 1 (each new instance consumes two free slots).
+
+    Returns:
+        dict with ``instances`` (S, M, N, 2), ``instance_peak_vals``
+        (S, M, N), ``instance_scores`` (S, M), ``instance_valid`` (S, M)
+        — instances ordered by creation (ascending original id), NaN/False
+        padded.
+    """
+    S, N, K, _ = peaks.shape
+    E = len(edge_inds_tuple)
+    M = max_instances if max_instances is not None else N * K // 2 + 1
+    T = len(sorted_edge_inds) * K  # total assembly steps
+
+    # Static per-step metadata, laid out as scan inputs.
+    step_e = np.repeat(np.asarray(sorted_edge_inds, np.int32), K)
+    step_k = np.tile(np.arange(K, dtype=np.int32), len(sorted_edge_inds))
+    src_nodes = np.asarray([edge_inds_tuple[e][0] for e in step_e], np.int32)
+    dst_nodes = np.asarray([edge_inds_tuple[e][1] for e in step_e], np.int32)
+    xs = (
+        jnp.asarray(step_e),
+        jnp.asarray(step_k),
+        jnp.asarray(src_nodes),
+        jnp.asarray(dst_nodes),
+        jnp.arange(T, dtype=jnp.int32),
+    )
+
+    valid_conn = match_scores >= min_line_scores  # False for NaN padding
+    col_iota = jnp.arange(K, dtype=jnp.int32)
+
+    def step(carry, x):
+        labels, stamps, next_id = carry
+        e, k, sn, dn = x[0], x[1], x[2], x[3]
+        t = x[4]
+        ok = valid_conn[:, e, k]  # (S,)
+        dk = dst_for_src[:, e, k]  # (S,)
+
+        sl = labels[:, sn, k]  # (S,) label of the source slot
+        dl = jnp.take_along_axis(labels[:, dn, :], dk[:, None], axis=1)[:, 0]
+
+        fresh = ok & (sl < 0) & (dl < 0)
+        extend = ok & (sl >= 0) & (dl < 0)
+        join = ok & (sl >= 0) & (dl >= 0)
+        # (src unassigned, dst assigned) intentionally does nothing —
+        # reference behavior (paf_grouping.py:828-848 has no such branch).
+
+        # Source slot: only the both-new case writes it.
+        labels = labels.at[:, sn, k].set(jnp.where(fresh, next_id, sl))
+        stamps = stamps.at[:, sn, k].set(
+            jnp.where(fresh, 2 * t, stamps[:, sn, k])
+        )
+
+        # Destination slot (per-sample column dk): fresh -> new id,
+        # extend/join -> the source's label. Stamp only on first insertion
+        # (fresh/extend); join overwrites the value of an existing key.
+        # The row is re-read after the source write so sn == dn stays safe.
+        dst_label = jnp.where(fresh, next_id, sl)
+        write_dst = fresh | extend | join
+        col_hit = (col_iota[None, :] == dk[:, None]) & write_dst[:, None]
+        new_dst_row = jnp.where(col_hit, dst_label[:, None], labels[:, dn, :])
+        labels = labels.at[:, dn, :].set(new_dst_row)
+        stamp_row = stamps[:, dn, :]
+        stamp_hit = col_hit & (fresh | extend)[:, None]
+        stamps = stamps.at[:, dn, :].set(
+            jnp.where(stamp_hit, 2 * t + 1, stamp_row)
+        )
+
+        # Join: merge the destination's old instance into the source's iff
+        # the two share no node types (checked after the slot reassignment,
+        # as the reference does).
+        has_src = jnp.any(labels == sl[:, None, None], axis=2)  # (S, N)
+        has_dst = jnp.any(labels == dl[:, None, None], axis=2)
+        overlap = jnp.any(has_src & has_dst, axis=1)
+        merge = join & ~overlap & (sl != dl)
+        relabel = merge[:, None, None] & (labels == dl[:, None, None])
+        labels = jnp.where(relabel, sl[:, None, None], labels)
+
+        next_id = next_id + fresh.astype(jnp.int32)
+        return (labels, stamps, next_id), None
+
+    init = (
+        jnp.full((S, N, K), -1, jnp.int32),
+        jnp.zeros((S, N, K), jnp.int32),
+        jnp.zeros((S,), jnp.int32),
+    )
+    (labels, stamps, _), _ = jax.lax.scan(step, init, xs, unroll=4)
+
+    # ---- Rank surviving ids by creation order (ascending id == reference's
+    # sorted(set(values)) remap) and bound the output at M instances.
+    max_ids = T  # the counter increments at most once per step
+    id_iota = jnp.arange(max_ids, dtype=jnp.int32)
+    flat = labels.reshape(S, N * K)
+    present = jnp.any(flat[:, :, None] == id_iota[None, None, :], axis=1)  # (S, I)
+    if min_instance_peaks > 0:
+        slot_counts = jnp.sum(
+            (flat[:, :, None] == id_iota[None, None, :]), axis=1
+        )
+        present = present & (slot_counts >= min_instance_peaks)
+    rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1  # (S, I)
+    rank = jnp.where(present, rank, max_ids)
+
+    # Per-slot output row (M = padded-out sentinel).
+    slot_rank = jnp.take_along_axis(
+        jnp.pad(rank, ((0, 0), (0, 1)), constant_values=max_ids),
+        jnp.where(flat >= 0, flat, max_ids).reshape(S, -1),
+        axis=1,
+    ).reshape(S, N, K)
+    slot_rank = jnp.where(slot_rank < M, slot_rank, M)
+
+    # Dict-insertion-order overwrite: per (sample, node, instance) the slot
+    # with the LARGEST stamp wins.
+    one_hot = slot_rank[..., None] == jnp.arange(M)[None, None, None, :]
+    keyed = jnp.where(one_hot, stamps[..., None] + 1, 0)  # (S, N, K, M)
+    winner_k = jnp.argmax(keyed, axis=2)  # (S, N, M)
+    has_slot = jnp.any(one_hot, axis=2)  # (S, N, M)
+
+    gathered = jnp.take_along_axis(peaks, winner_k[..., None], axis=2)  # (S,N,M,2)
+    inst_pts = jnp.where(
+        has_slot[..., None], gathered, jnp.nan
+    ).transpose(0, 2, 1, 3)  # (S, M, N, 2)
+    gathered_vals = jnp.take_along_axis(peak_vals, winner_k, axis=2)
+    inst_vals = jnp.where(has_slot, gathered_vals, jnp.nan).transpose(0, 2, 1)
+
+    # Instance scores: sum of matched-connection scores whose source slot
+    # belongs to the instance, using FINAL assignments (reference :917-944).
+    e_src = jnp.asarray([e[0] for e in edge_inds_tuple], jnp.int32)
+    src_labels = jnp.take(labels, e_src, axis=1)  # (S, E, K)
+    src_rank = jnp.take(slot_rank, e_src, axis=1)  # (S, E, K)
+    conn_scores = jnp.where(
+        valid_conn & (src_labels >= 0), match_scores, 0.0
+    )  # (S, E, K)
+    score_oh = src_rank[..., None] == jnp.arange(M)[None, None, None, :]
+    inst_scores = jnp.sum(
+        jnp.where(score_oh, conn_scores[..., None], 0.0), axis=(1, 2)
+    )  # (S, M)
+
+    inst_valid = jnp.any(has_slot, axis=1)  # (S, M)
+    return {
+        "instances": inst_pts,
+        "instance_peak_vals": inst_vals,
+        "instance_scores": inst_scores,
+        "instance_valid": inst_valid,
+    }
+
+
+# --------------------------------------------------------------------------- #
 # Host-side assembly
 # --------------------------------------------------------------------------- #
 
@@ -312,6 +499,34 @@ class PAFScorer:
             dist_penalty_weight=self.dist_penalty_weight,
         )
         return match_candidates_batch(scores)
+
+    def resolved_min_instance_peaks(self) -> int:
+        """Fractional ``min_instance_peaks`` resolved against n_nodes."""
+        if isinstance(self.min_instance_peaks, float):
+            return int(self.min_instance_peaks * len(self.part_names))
+        return int(self.min_instance_peaks)
+
+    def group_batch(
+        self,
+        peaks: jnp.ndarray,
+        peak_vals: jnp.ndarray,
+        dst_for_src: jnp.ndarray,
+        match_scores: jnp.ndarray,
+        max_instances: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """On-chip greedy assembly for a whole batch (jittable; equivalent to
+        per-sample :meth:`group_sample` up to NaN padding)."""
+        return group_instances_batch(
+            peaks,
+            peak_vals,
+            dst_for_src,
+            match_scores,
+            edge_inds_tuple=tuple((int(s), int(d)) for s, d in self.edge_inds),
+            sorted_edge_inds=tuple(self.sorted_edge_inds),
+            min_line_scores=float(self.min_line_scores),
+            min_instance_peaks=self.resolved_min_instance_peaks(),
+            max_instances=max_instances,
+        )
 
     def group_sample(
         self,

@@ -32,9 +32,10 @@ def test_export_and_reload_roundtrip(tmp_path):
     fn = load_exported_model(out)
     x = np.random.randint(0, 255, (2, 128, 128, 1), np.uint8)
     result = fn(x)
-    # NaN-padded static-shape output dict (the predictor's on-chip contract).
-    assert "peaks" in result or "instance_peaks" in result
-    leaf = result.get("peaks", result.get("instance_peaks"))
+    # NaN-padded static-shape output dict (the predictor's on-chip contract;
+    # bottom-up now returns fully assembled instances).
+    keys = ("instances", "peaks", "instance_peaks")
+    leaf = next(result[k] for k in keys if k in result)
     assert np.asarray(leaf).shape[0] == 2
 
 

@@ -242,3 +242,83 @@ def test_paf_scorer_end_to_end_two_instances():
     assert recovered == expected
     # Each instance sums two near-perfect line scores.
     assert (inst_scores > 1.5).all()
+
+
+def _random_match_inputs(rng, S=6, N=5, K=8, E=4):
+    """Synthesize random matched-connection tensors with NaN padding."""
+    edge_inds = [(0, 1), (1, 2), (1, 3), (3, 4)]
+    peaks = rng.uniform(0, 100, size=(S, N, K, 2)).astype(np.float32)
+    n_real = rng.integers(1, K + 1, size=(S, N))
+    for s in range(S):
+        for n in range(N):
+            peaks[s, n, n_real[s, n]:] = np.nan
+    peak_vals = rng.uniform(0.2, 1.0, size=(S, N, K)).astype(np.float32)
+    dst_for_src = np.stack(
+        [np.stack([rng.permutation(K) for _ in range(E)]) for _ in range(S)]
+    ).astype(np.int32)
+    match_scores = rng.uniform(-0.5, 1.0, size=(S, E, K)).astype(np.float32)
+    # Pad: missing src/dst peaks make the match invalid (NaN), as produced by
+    # match_candidates_batch when scores are NaN.
+    for s in range(S):
+        for e, (sn, dn) in enumerate(edge_inds):
+            for k in range(K):
+                if k >= n_real[s, sn] or dst_for_src[s, e, k] >= n_real[s, dn]:
+                    match_scores[s, e, k] = np.nan
+    return edge_inds, peaks, peak_vals, dst_for_src, match_scores
+
+
+def test_onchip_grouping_matches_host():
+    """group_instances_batch == per-sample host group_sample on random
+    NaN-padded matches (reference assembly semantics :799-944)."""
+    rng = np.random.default_rng(3)
+    edge_inds, peaks, peak_vals, dst_for_src, match_scores = _random_match_inputs(rng)
+    scorer = PAFScorer(
+        part_names=["a", "b", "c", "d", "e"],
+        edges=[("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")],
+        min_line_scores=0.25,
+    )
+    out = scorer.group_batch(
+        jnp.asarray(peaks),
+        jnp.asarray(peak_vals),
+        jnp.asarray(dst_for_src),
+        jnp.asarray(match_scores),
+    )
+    inst = np.asarray(out["instances"])
+    vals = np.asarray(out["instance_peak_vals"])
+    scores = np.asarray(out["instance_scores"])
+    valid = np.asarray(out["instance_valid"])
+    for s in range(peaks.shape[0]):
+        h_inst, h_vals, h_scores = scorer.group_sample(
+            peaks[s], peak_vals[s], dst_for_src[s], match_scores[s],
+            ~np.isnan(match_scores[s]),
+        )
+        n_i = h_inst.shape[0]
+        assert valid[s, :n_i].all() and not valid[s, n_i:].any(), s
+        np.testing.assert_allclose(inst[s, :n_i], h_inst, equal_nan=True, atol=1e-5)
+        np.testing.assert_allclose(vals[s, :n_i], h_vals, equal_nan=True, atol=1e-5)
+        np.testing.assert_allclose(scores[s, :n_i], h_scores, atol=1e-4)
+
+
+def test_onchip_grouping_min_instance_peaks():
+    rng = np.random.default_rng(11)
+    edge_inds, peaks, peak_vals, dst_for_src, match_scores = _random_match_inputs(rng)
+    scorer = PAFScorer(
+        part_names=["a", "b", "c", "d", "e"],
+        edges=[("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")],
+        min_line_scores=0.25,
+        min_instance_peaks=3,
+    )
+    out = scorer.group_batch(
+        jnp.asarray(peaks), jnp.asarray(peak_vals),
+        jnp.asarray(dst_for_src), jnp.asarray(match_scores),
+    )
+    valid = np.asarray(out["instance_valid"])
+    inst = np.asarray(out["instances"])
+    for s in range(peaks.shape[0]):
+        h_inst, _, _ = scorer.group_sample(
+            peaks[s], peak_vals[s], dst_for_src[s], match_scores[s],
+            ~np.isnan(match_scores[s]),
+        )
+        n_i = h_inst.shape[0]
+        assert valid[s].sum() == n_i
+        np.testing.assert_allclose(inst[s, :n_i], h_inst, equal_nan=True, atol=1e-5)
