@@ -283,11 +283,13 @@ def bench_single_instance():
 
 def bench_tracking_e2e(n_frames=1000):
     """End-to-end flow tracking: ONE jitted device scan computes bottom-up
-    peaks AND LK flow shifts for consecutive synthetic frames; the host then
-    matches identities frame-by-frame on the returned (tiny) arrays using
-    the tracker's similarity/matching components."""
+    inference (through instance assembly) AND batched LK flow shifts for all
+    consecutive frame pairs; the host then runs the REAL product tracker —
+    ``Tracker.track`` with ``PrecomputedFlowCandidateMaker``, FrameMatches,
+    Hungarian matching, Track bookkeeping — frame by frame over the
+    returned arrays. This is the TPU-native split of the reference
+    FlowTracker (flow in device batches, stateful identity logic on host)."""
     from sleap_tpu.ops.optical_flow import lk_flow
-    from sleap_tpu.tracking.components import hungarian_matching
 
     CHUNK = 32  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
@@ -376,21 +378,73 @@ def bench_tracking_e2e(n_frames=1000):
     shifts = np.asarray(s)
     t_device = time.perf_counter() - t0
 
-    # Host identity matching over the tiny arrays (flow-shifted prev
-    # instances x current candidates, hungarian on mean point distance).
+    # Host: the PRODUCT tracker over the returned arrays. Candidates come
+    # from the device-precomputed flow shifts; everything else (queue,
+    # FrameMatches, similarity, Hungarian matching, Track spawning) is the
+    # real Tracker code path.
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.core.instance import PredictedInstance
+    from sleap_tpu.tracking.components import (
+        hungarian_matching, instance_similarity,
+    )
+    from sleap_tpu.tracking.tracker import (
+        PrecomputedFlowCandidateMaker, ShiftedInstance, Tracker,
+    )
+
+    skeleton = Skeleton.from_names_and_edge_inds(
+        [f"n{i}" for i in range(N_NODES)],
+        [(i, i + 1) for i in range(N_NODES - 1)],
+        name="bench",
+    )
+    shift_table = shifts.reshape(n_frames, K_INST, N_NODES, 2)
+
+    def shift_fn(ref_t, t, ref_instances):
+        # shifts[t] rows are ref-frame animals displaced onto frame t; pair
+        # each ref instance to its row by nearest mean point distance.
+        if t - ref_t != 1 or t >= n_frames:
+            return []
+        rows = shift_table[t]  # (K_INST, N, 2)
+        out = []
+        for inst in ref_instances:
+            pts = inst.numpy()
+            d = np.nanmean(
+                np.linalg.norm(rows - pts[None], axis=-1), axis=-1
+            )
+            row = int(np.nanargmin(d))
+            out.append(
+                ShiftedInstance(
+                    points_array=rows[row],
+                    skeleton=inst.skeleton,
+                    track=inst.track,
+                    frame_t=ref_t,
+                    shift_score=-float(d[row]),
+                )
+            )
+        return out
+
+    tracker = Tracker(
+        track_window=5,
+        similarity_function=instance_similarity,
+        matching_function=hungarian_matching,
+        candidate_maker=PrecomputedFlowCandidateMaker(shift_fn=shift_fn),
+    )
     t0 = time.perf_counter()
-    ids = np.arange(K_INST)
-    for t in range(1, n_frames):
-        cand = peaks[t]  # (K_INST, N, 2) assembled instances
-        shifted_prev = shifts[t].reshape(K_INST, N_NODES, 2)
-        d = np.linalg.norm(shifted_prev[:, None] - cand[None], axis=-1)
-        d = np.nan_to_num(d, nan=1e6).mean(-1)  # NaN nodes = unmatched
-        matches = hungarian_matching(d)  # cost = mean node distance
-        new_ids = np.empty(K_INST, int)
-        for i, j in matches:
-            new_ids[j] = ids[i]
-        ids = new_ids
+    n_tracked = 0
+    for t in range(n_frames):
+        insts = [
+            PredictedInstance.from_arrays(
+                points=peaks[t, k],
+                point_confidences=np.full(N_NODES, 0.9, np.float32),
+                instance_score=0.9,
+                skeleton=skeleton,
+            )
+            for k in range(K_INST)
+            if not np.all(np.isnan(peaks[t, k]))
+        ]
+        tracked = tracker.track(untracked_instances=insts, t=t)
+        n_tracked += sum(1 for i in tracked if i.track is not None)
     t_host = time.perf_counter() - t0
+    assert n_tracked > 0
 
     fps = n_frames / (t_device + t_host)
     return {

@@ -43,6 +43,13 @@ def make_parser() -> argparse.ArgumentParser:
         "Batches are sharded over a device mesh; params are replicated and "
         "the gradient all-reduce rides the interconnect.",
     )
+    parser.add_argument(
+        "--spatial-sharding", type=int, default=1, dest="spatial_sharding",
+        help="Also shard frame HEIGHT over this many devices (the mesh "
+        "becomes (data: n/spatial, spatial)); XLA inserts conv halo "
+        "exchanges. For frames too large for one chip's HBM. Must divide "
+        "--n-devices.",
+    )
     return parser
 
 
@@ -81,7 +88,9 @@ def create_trainer_using_cli(args: Optional[List[str]] = None):
         cfg.outputs.zmq.controller_address = f"tcp://127.0.0.1:{ns.controller_port}"
         cfg.outputs.zmq.publish_address = f"tcp://127.0.0.1:{ns.publish_port}"
 
-    return Trainer.from_config(cfg, n_devices=ns.n_devices)
+    return Trainer.from_config(
+        cfg, n_devices=ns.n_devices, spatial_sharding=ns.spatial_sharding
+    )
 
 
 def main(args: Optional[List[str]] = None) -> None:

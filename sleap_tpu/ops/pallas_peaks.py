@@ -141,6 +141,103 @@ def _local_peaks_kernel(
             masked = jnp.where(lin == m, neg_inf, masked)
 
 
+def _local_peaks_kernel_banded(
+    cms_ref,
+    x_ref,
+    y_ref,
+    v_ref,
+    masked_ref,
+    *,
+    threshold: float,
+    k_peaks: int,
+    half: int,
+    refine: bool,
+):
+    """Banded top-K variant of :func:`_local_peaks_kernel`.
+
+    The baseline kernel's top-K loop does ~4 full-(H, W) passes per peak
+    (max, min-linear-index, refine sums, suppress) — ~32 passes for K=8,
+    dominating the 4.3 ms/iter in-context cost @ (832, 256, 256). Here a
+    per-row maximum (H, 1) is maintained incrementally: each iteration does
+    one (H, 1) max + index, then operates on an 8-row sublane-ALIGNED band
+    slice (the Mosaic alignment rule) for the column search, and a 16-row
+    aligned window for integral refinement. Suppression is recorded as the
+    K extracted linear indices and re-applied to band slices on the fly, so
+    the (H, W) array is never rewritten. Only row ``iy``'s max changes per
+    iteration, so the rowmax update is a single masked where.
+
+    Mosaic cannot ``dynamic_slice`` VALUES, so the NMS-masked array is
+    staged through a VMEM scratch (``masked_ref``) and band/window slices
+    are ref loads with 8-aligned dynamic starts (the DMA alignment rule).
+    """
+    H, W = cms_ref.shape[1], cms_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    brows = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+    bcols = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (16, W), 0)
+    neg_inf = jnp.float32(-jnp.inf)
+    for k in range(cms_ref.shape[0]):
+        cm = cms_ref[k].astype(jnp.float32)  # (H, W)
+
+        # NMS: strictly greater than all 8 neighbors (border = -inf).
+        up = pltpu.roll(cm, H - 1, 0)
+        down = pltpu.roll(cm, 1, 0)
+        nbr = neg_inf
+        for dy, base in ((-1, down), (0, cm), (1, up)):
+            row_ok = (rows + dy >= 0) & (rows + dy < H)
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                if dx == 0:
+                    s, ok = base, row_ok
+                else:
+                    s = pltpu.roll(base, (-dx) % W, 1)
+                    ok = row_ok & (cols + dx >= 0) & (cols + dx < W)
+                nbr = jnp.maximum(nbr, jnp.where(ok, s, neg_inf))
+        masked = jnp.where((cm > nbr) & (cm > threshold), cm, neg_inf)
+        masked_ref[k] = masked
+
+        rowmax = jnp.max(masked, axis=1, keepdims=True)  # (H, 1)
+        taken = []  # linear indices already extracted
+        for j in range(k_peaks):
+            peak_val = jnp.max(rowmax)
+            iy = jnp.min(jnp.where(rowmax == peak_val, rows1, H))
+            base8 = jnp.clip((iy // 8) * 8, 0, H - 8)
+            band = masked_ref[k, pl.ds(base8, 8), :]
+            band_rows = brows + base8
+            band_lin = band_rows * W + bcols
+            for m_prev in taken:
+                band = jnp.where(band_lin == m_prev, neg_inf, band)
+            hit = (band == peak_val) & (band_rows == iy)
+            m = jnp.min(jnp.where(hit, band_lin, H * W))
+            ix = m % W
+            if refine:
+                wbase = jnp.clip(((iy - half) // 8) * 8, 0, H - 16)
+                win = cms_ref[k, pl.ds(wbase, 16), :].astype(jnp.float32)
+                wr = wrows + wbase
+                wcols = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
+                in_win = (jnp.abs(wr - iy) <= half) & (jnp.abs(wcols - ix) <= half)
+                w = jnp.where(in_win, win, 0.0)
+                z = jnp.sum(w)
+                dx_hat = jnp.sum(w * (wcols - ix).astype(jnp.float32)) / z
+                dy_hat = jnp.sum(w * (wr - iy).astype(jnp.float32)) / z
+                x = ix.astype(jnp.float32) + dx_hat
+                y = iy.astype(jnp.float32) + dy_hat
+            else:
+                x = ix.astype(jnp.float32)
+                y = iy.astype(jnp.float32)
+            x_ref[k, j, 0] = x
+            y_ref[k, j, 0] = y
+            v_ref[k, j, 0] = peak_val
+            taken.append(m)
+            # Only row iy's maximum changes; recompute it from the band.
+            row_vals = jnp.where((band_rows == iy) & (band_lin != m), band, neg_inf)
+            new_row_max = jnp.max(row_vals)
+            rowmax = jnp.where(rows1 == iy, new_row_max, rowmax)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -173,8 +270,11 @@ def find_local_peaks_fused_pallas(
     total = n_maps + n_pad
     half = (integral_patch_size - 1) // 2
 
+    # Banded kernel needs >= 2 aligned 8-row bands (and half <= 6 so the
+    # 16-row refinement window always covers the patch).
+    banded = _HAS_PLTPU and H >= 16 and H % 8 == 0 and half <= 6
     kernel = functools.partial(
-        _local_peaks_kernel,
+        _local_peaks_kernel_banded if banded else _local_peaks_kernel,
         threshold=threshold,
         k_peaks=max_peaks,
         half=half,
@@ -186,6 +286,11 @@ def find_local_peaks_fused_pallas(
         (_BLOCK_MAPS, max_peaks, 1), lambda i: (i, 0, 0), memory_space=smem
     )
     out_shape = jax.ShapeDtypeStruct((total, max_peaks, 1), jnp.float32)
+    scratch = (
+        [pltpu.VMEM((_BLOCK_MAPS, H, W), jnp.float32)]
+        if (banded and _HAS_PLTPU)
+        else []
+    )
     x, y, v = pl.pallas_call(
         kernel,
         grid=(total // _BLOCK_MAPS,),
@@ -194,6 +299,7 @@ def find_local_peaks_fused_pallas(
         ],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(maps)
     peaks = jnp.stack([x[:n_maps, :, 0], y[:n_maps, :, 0]], axis=-1)

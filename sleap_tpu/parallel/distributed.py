@@ -49,36 +49,35 @@ def sharded_infer_fn(
 ) -> Callable:
     """Wrap a predictor's per-batch function for data-parallel execution.
 
-    The batch axis is sharded over the mesh's ``data`` axis; model params are
-    closed-over constants and get replicated by XLA. The global batch size
-    must be divisible by the ``data`` axis size.
+    The per-batch computation runs under ``shard_map``: each device traces
+    the FULL single-device program on its batch shard, so the fused Pallas
+    kernels (peak finding, crops) stay in play per-device — GSPMD cannot
+    auto-partition ``pallas_call`` custom calls, which is why a plain
+    ``jit(in_shardings=...)`` would need the slower XLA fallbacks. Model
+    params are closed-over constants and get replicated. The global batch
+    size must be divisible by the ``data`` axis size.
     """
     if mesh is None:
         mesh = make_mesh()
-    batch_sharding = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
+    batch_spec = P("data")
+    batch_sharding = NamedSharding(mesh, batch_spec)
 
     traceable = getattr(infer_fn, "__wrapped__", infer_fn)
-    # All positional args are batch-leading (images, gt centroids, masks, ...):
-    # shard each on the data axis; outputs gathered to replicated for the host.
+    # check_vma off: per-shard peak indices etc. are intentionally
+    # device-varying; there are no cross-device collectives to validate.
     fn = jax.jit(
-        traceable,
-        in_shardings=batch_sharding,
-        out_shardings=rep,
+        jax.shard_map(
+            traceable,
+            mesh=mesh,
+            in_specs=batch_spec,
+            out_specs=batch_spec,
+            check_vma=False,
+        )
     )
 
     def wrapped(*args):
-        from sleap_tpu.ops import peak_finding
-
         args = tuple(jax.device_put(a, batch_sharding) for a in args)
-        # GSPMD cannot auto-partition pallas_call custom calls: pin the XLA
-        # peak-finding implementations while tracing/running sharded.
-        prev = peak_finding.FORCE_XLA_PEAKS
-        peak_finding.FORCE_XLA_PEAKS = True
-        try:
-            return fn(*args)
-        finally:
-            peak_finding.FORCE_XLA_PEAKS = prev
+        return fn(*args)
 
     return wrapped
 
@@ -98,10 +97,31 @@ def make_sharded_predictor(predictor, mesh: Optional[Mesh] = None):
     return predictor
 
 
+def _batch_placer(mesh: Mesh, spatial: bool) -> Callable:
+    """device_put batch leaves: B on data; +H on spatial for image-like
+    (rank >= 3) leaves when spatial sharding is on. Lets jit infer mixed
+    shardings from committed inputs (a single in_shardings spec cannot give
+    different specs to different-rank leaves of the batch pytree)."""
+    data = NamedSharding(mesh, P("data"))
+    data_spatial = NamedSharding(mesh, P("data", "spatial"))
+
+    def place(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, data_spatial if (spatial and getattr(x, "ndim", 0) >= 3) else data
+            ),
+            batch,
+        )
+
+    return place
+
+
 def sharded_train_step(
-    train_step: Callable, mesh: Optional[Mesh] = None
+    train_step: Callable, mesh: Optional[Mesh] = None, spatial: bool = False
 ) -> Callable:
-    """Shard a trainer train step: params/opt replicated, batch data-sharded.
+    """Shard a trainer train step: params/opt replicated, batch data-sharded
+    (optionally height-sharded on the ``spatial`` axis — XLA inserts the conv
+    halo exchanges).
 
     Expects the trainer's signature
     ``(params, batch_stats, opt_state, batch, rng) -> (params, bs, opt, loss)``.
@@ -109,28 +129,38 @@ def sharded_train_step(
     if mesh is None:
         mesh = make_mesh()
     rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
 
     traceable = getattr(train_step, "__wrapped__", train_step)
-    return jax.jit(
+    fn = jax.jit(
         traceable,
-        in_shardings=(rep, rep, rep, data, rep),
+        in_shardings=(rep, rep, rep, None, rep),  # batch: inferred from args
         out_shardings=(rep, rep, rep, rep),
     )
+    place = _batch_placer(mesh, spatial)
+
+    def wrapped(params, batch_stats, opt_state, batch, rng):
+        return fn(params, batch_stats, opt_state, place(batch), rng)
+
+    return wrapped
 
 
 def sharded_val_step(
-    val_step: Callable, mesh: Optional[Mesh] = None
+    val_step: Callable, mesh: Optional[Mesh] = None, spatial: bool = False
 ) -> Callable:
     """Shard a trainer val step ``(params, batch_stats, batch, rng) -> loss``."""
     if mesh is None:
         mesh = make_mesh()
     rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
 
     traceable = getattr(val_step, "__wrapped__", val_step)
-    return jax.jit(
+    fn = jax.jit(
         traceable,
-        in_shardings=(rep, rep, data, rep),
+        in_shardings=(rep, rep, None, rep),
         out_shardings=rep,
     )
+    place = _batch_placer(mesh, spatial)
+
+    def wrapped(params, batch_stats, batch, rng):
+        return fn(params, batch_stats, place(batch), rng)
+
+    return wrapped

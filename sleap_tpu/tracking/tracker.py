@@ -213,6 +213,36 @@ class FlowCandidateMaker:
 
 
 @attr.s(auto_attribs=True)
+class PrecomputedFlowCandidateMaker:
+    """Flow-shift candidates from externally computed shifts.
+
+    TPU-native split of the reference FlowTracker (no reference analog): the
+    chip computes Lucas-Kanade flow for a whole clip in BATCHES (one jitted
+    scan, see ``bench.py`` tracking config), and the host tracker consumes
+    the precomputed shifts here — instead of dispatching one small LK per
+    frame pair from inside ``Tracker.track``. ``shift_fn(ref_t, t,
+    ref_instances)`` returns the :class:`ShiftedInstance` list for the
+    reference frame's instances displaced onto frame ``t`` (empty/None when
+    no shifts are available for that pair).
+    """
+
+    shift_fn: Any = None
+    uses_image: bool = False
+
+    def get_candidates(self, track_matching_queue, t=None, img=None, **kwargs):
+        candidates = []
+        if self.shift_fn is None:
+            return candidates
+        for match_item in track_matching_queue:
+            if not match_item.instances_t:
+                continue
+            shifted = self.shift_fn(match_item.t, t, match_item.instances_t)
+            if shifted:
+                candidates.extend(shifted)
+        return candidates
+
+
+@attr.s(auto_attribs=True)
 class SimpleMaxTracksCandidateMaker(SimpleCandidateMaker):
     """Capped-track variant (tracking.py:465)."""
 

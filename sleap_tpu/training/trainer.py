@@ -310,6 +310,10 @@ class Trainer:
     # Data-parallel training: shard batches over an n-device mesh (params
     # replicated, gradient all-reduce inserted by XLA). None/1 = single-device.
     n_devices: Optional[int] = None
+    # Spatial (H-axis) sharding factor for very large frames: the mesh
+    # becomes (data: n/spatial, spatial); image-like batch leaves shard
+    # their height axis and XLA inserts conv halo exchanges. 1 = off.
+    spatial_sharding: int = 1
 
     # Filled by setup():
     module: Any = None
@@ -330,6 +334,7 @@ class Trainer:
         validation_labels: Any = None,
         test_labels: Any = None,
         n_devices: Optional[int] = None,
+        spatial_sharding: int = 1,
     ) -> "Trainer":
         head_name = config.model.heads.which_oneof_attrib_name
         trainer_cls = {
@@ -360,7 +365,8 @@ class Trainer:
             config.model, skeleton=skeleton, tracks=tracks, update_config=True
         )
         return trainer_cls(
-            config=config, data_readers=data_readers, model=model, n_devices=n_devices
+            config=config, data_readers=data_readers, model=model,
+            n_devices=n_devices, spatial_sharding=spatial_sharding,
         )
 
     # ------------------------------------------------------------------ #
@@ -621,15 +627,17 @@ class Trainer:
             )
             from sleap_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(n_devices=self.n_devices)
+            spatial = max(int(self.spatial_sharding or 1), 1)
+            mesh = make_mesh(n_devices=self.n_devices, spatial=spatial)
             n_data = mesh.shape["data"]
             # Round up so every batch leaf's leading axis shards evenly.
             batch_size = -(-batch_size // n_data) * n_data
-            train_step = sharded_train_step(train_step, mesh)
-            val_step = sharded_val_step(val_step, mesh)
+            train_step = sharded_train_step(train_step, mesh, spatial=spatial > 1)
+            val_step = sharded_val_step(val_step, mesh, spatial=spatial > 1)
             logger.info(
-                "Data-parallel training over %d devices (batch_size=%d).",
-                self.n_devices, batch_size,
+                "Data-parallel training over %d devices (batch_size=%d, "
+                "spatial=%d).",
+                self.n_devices, batch_size, spatial,
             )
         n_train = len(self._train_examples)
         batches_per_epoch = opt_cfg.batches_per_epoch or max(

@@ -125,7 +125,7 @@ def test_sharded_bottomup_trainer_matches_single_device(mesh8, tmp_path):
     ]
     labels = Labels(lfs)
 
-    def run(n_devices, name):
+    def run(n_devices, name, spatial=1):
         c = cfg.TrainingJobConfig()
         c.model.backbone.unet = cfg.UNetConfig(
             max_stride=4, output_stride=2, filters=4, filters_rate=1.5
@@ -143,21 +143,27 @@ def test_sharded_bottomup_trainer_matches_single_device(mesh8, tmp_path):
         c.outputs.runs_folder = str(tmp_path)
         c.outputs.run_name = name
         trainer = Trainer.from_config(
-            c, training_labels=labels, validation_labels=labels, n_devices=n_devices
+            c, training_labels=labels, validation_labels=labels,
+            n_devices=n_devices, spatial_sharding=spatial,
         )
         trainer.evaluate = lambda: None
         trainer.train()
         return trainer.variables["params"]
 
+    def check(p_a, p_b):
+        flat_s, _ = jax.tree_util.tree_flatten_with_path(p_a)
+        flat_d, _ = jax.tree_util.tree_flatten_with_path(p_b)
+        assert len(flat_s) == len(flat_d)
+        for (path, a), (_, b) in zip(flat_s, flat_d):
+            # Adam's sqrt(v) normalization amplifies reduce-order float
+            # noise; observed max drift after 4 steps is ~5e-5.
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                err_msg=f"param mismatch at {path}",
+            )
+
     p_single = run(None, "single")
-    p_sharded = run(8, "sharded")
-    flat_s, _ = jax.tree_util.tree_flatten_with_path(p_single)
-    flat_d, _ = jax.tree_util.tree_flatten_with_path(p_sharded)
-    assert len(flat_s) == len(flat_d)
-    for (path, a), (_, b) in zip(flat_s, flat_d):
-        # Adam's sqrt(v) normalization amplifies reduce-order float noise;
-        # observed max drift after 4 steps is ~5e-5.
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
-            err_msg=f"param mismatch at {path}",
-        )
+    check(p_single, run(8, "sharded"))
+    # (data: 4, spatial: 2) mesh: frame height additionally sharded; XLA
+    # inserts conv halo exchanges. Same optimization trajectory.
+    check(p_single, run(8, "sharded_spatial", spatial=2))
