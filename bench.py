@@ -455,6 +455,171 @@ def bench_tracking_e2e(n_frames=1000):
     }
 
 
+def bench_streaming(n_batches=10, batch=16, inner=48):
+    """BASELINE config 4: the streaming path's transfer/compute overlap.
+
+    Compares a naive blocking loop (device_put -> compute -> fetch, per
+    batch) against the product staging path (:func:`stage_to_device`: uint8
+    transfers dispatched ``depth`` batches ahead, normalize fused on-chip).
+    Reported value = naive_time / staged_time (>1 means the copy engine runs
+    while the chip computes; 2.0 = perfect overlap at transfer == compute).
+    NOTE on this environment: host->device rides a ~10 MB/s tunnel, so
+    absolute streamed FPS is tunnel-bound and meaningless — the overlap
+    ratio is the meaningful, hardware-independent measurement. ``inner``
+    chains applications so compute is comparable to one batch's transfer.
+    """
+    from sleap_tpu.data.streaming import stage_to_device
+
+    predictor = build_single_instance_predictor(batch=batch)
+    infer = predictor._build_infer_fn().__wrapped__
+
+    @jax.jit
+    def heavy_scalar(images):
+        def body(i, carry):
+            im, acc = carry
+            out = infer(im)
+            s = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                s = s + jnp.nan_to_num(leaf.astype(jnp.float32)).sum()
+            return (_chain_images(im, s), acc + s)
+
+        _, acc = lax.fori_loop(0, inner, body, (images, jnp.float32(0.0)))
+        return acc
+
+    rng = np.random.default_rng(0)
+    host_batches = [
+        rng.integers(0, 255, (batch, 192, 192, 1), np.uint8)
+        for _ in range(n_batches)
+    ]
+    float(heavy_scalar(jax.device_put(host_batches[0])))  # compile + warm
+
+    t0 = time.perf_counter()
+    for hb in host_batches:
+        float(heavy_scalar(jax.device_put(hb)))
+    t_naive = time.perf_counter() - t0
+
+    def batches():
+        for hb in host_batches:
+            yield {"image": hb}, batch
+
+    t0 = time.perf_counter()
+    for _batch, _n, dev in stage_to_device(batches(), depth=2):
+        float(heavy_scalar(dev))
+    t_staged = time.perf_counter() - t0
+
+    speedup = t_naive / t_staged
+    return {
+        "metric": "streaming_overlap_speedup",
+        "value": round(speedup, 3),
+        "unit": "x (naive/staged; 2.0 = perfect overlap)",
+        "vs_baseline": round(speedup, 3),
+    }
+
+
+def bench_train(batch=16, n_iters=20):
+    """Training throughput: the REAL TopdownConfmapsTrainer train step
+    (on-chip augmentation + instance cropping + GT confmap codec + forward +
+    backward + Adam) at the flagship config, images/s. Reference baseline:
+    "15 to 60 mins on a single GPU for a typical dataset"
+    (/root/reference/README.rst:54) — e.g. 1500 labels x 200 epochs in 30 min
+    ~= 170 img/s as a representative midpoint.
+    """
+    import optax
+
+    from sleap_tpu import config as cfgm
+    from sleap_tpu.core.instance import Instance, LabeledFrame
+    from sleap_tpu.core.labels import Labels
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.io.video import Video
+    from sleap_tpu.training.trainer import Trainer
+
+    rng0 = np.random.default_rng(0)
+    skel = Skeleton.from_names_and_edge_inds(
+        [f"n{i}" for i in range(N_NODES)],
+        [(i, i + 1) for i in range(N_NODES - 1)],
+        name="bench",
+    )
+    video = Video.from_numpy(rng0.integers(0, 255, (4, IMG, IMG, 1), np.uint8))
+    lfs = [
+        LabeledFrame(
+            video=video, frame_idx=i,
+            instances=[
+                Instance(
+                    skeleton=skel,
+                    points=rng0.uniform(100, IMG - 100, (N_NODES, 2)),
+                )
+                for _ in range(3)
+            ],
+        )
+        for i in range(4)
+    ]
+    labels = Labels(lfs)
+
+    c = cfgm.TrainingJobConfig()
+    c.model.backbone.unet = cfgm.UNetConfig(
+        max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
+        up_interpolate=True, space_to_depth=4,
+    )
+    c.model.heads.centered_instance = cfgm.CenteredInstanceConfmapsHeadConfig(
+        part_names=[f"n{i}" for i in range(N_NODES)], output_stride=4, sigma=2.5,
+    )
+    c.data.preprocessing.pad_to_stride = 16
+    c.data.instance_cropping.crop_size = CROP
+    c.optimization.batch_size = batch
+    c.outputs.save_outputs = False
+    trainer = Trainer.from_config(
+        c, training_labels=labels, validation_labels=labels
+    )
+    trainer.setup()
+    optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=1e-4)
+    params = trainer.variables["params"]
+    batch_stats = trainer.variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    train_step, _ = trainer._build_train_step(optimizer)
+    step = train_step.__wrapped__
+
+    @jax.jit
+    def bench_loop(seed):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        images = jax.random.uniform(
+            k1, (batch, IMG, IMG, 1), jnp.float32, 0, 255
+        ).astype(jnp.uint8)
+        instances = jax.random.uniform(
+            k2, (batch, 3, N_NODES, 2), jnp.float32, 100, IMG - 100
+        )
+        track_inds = jnp.zeros((batch, 3), jnp.int32)
+        ctr_ind = jax.random.randint(k3, (batch,), 0, 3)
+
+        def body(i, carry):
+            params, opt_state, images, acc = carry
+            b = {
+                "image": images,
+                "instances": instances,
+                "track_inds": track_inds,
+                "ctr_ind": ctr_ind,
+            }
+            params, _, opt_state, loss = step(
+                params, batch_stats, opt_state, b, jax.random.fold_in(key, i)
+            )
+            # Data dependency: params update chains iterations; fold the loss
+            # into the images so nothing is DCE'd.
+            return (params, opt_state, _chain_images(images, loss), acc + loss)
+
+        params2, _, _, acc = lax.fori_loop(
+            0, n_iters, body, (params, opt_state, images, jnp.float32(0.0))
+        )
+        return acc
+
+    fps, _ = _run_loop(bench_loop, n_iters * batch)
+    return {
+        "metric": f"train_topdown_images_per_s_batch{batch}",
+        "value": round(fps, 2),
+        "unit": "images/s",
+        "vs_baseline": round(fps / 170.0, 3),
+    }
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     benches = {
@@ -463,9 +628,12 @@ def main():
         "bottomup": bench_bottomup,
         "single": bench_single_instance,
         "tracking": bench_tracking_e2e,
+        "train": bench_train,
+        "streaming": bench_streaming,
     }
     order = (
-        ["topdown", "bottomup", "latency", "single", "tracking"]
+        ["topdown", "bottomup", "latency", "single", "tracking", "train",
+         "streaming"]
         if which == "all"
         else [which]
     )

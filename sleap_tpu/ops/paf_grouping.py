@@ -100,18 +100,28 @@ def score_paf_lines_batch(
     # gathers cost ~1.4 ms/batch on TPU (profiled) while the equivalent
     # row-mix (P', Hs) @ (Hs, Ws) contraction runs on the MXU in <0.2 ms.
     # One-hot row/col weights come from the hat function at integer coords.
+    # When the model already runs in bf16 the intermediates stay bf16 (the
+    # one-hot weights are exactly representable 0/1, coords < 256 are exact,
+    # and the row-select keeps the bf16 PAF values bit-exact), halving the
+    # HBM traffic of the big (S, E, P', Hs/Ws) weight/row-mix tensors. For
+    # f32 models (reference-parity path) everything stays f32.
+    dt = jnp.bfloat16 if pafs.dtype == jnp.bfloat16 else jnp.float32
     n_samp = K * K * n_line_points
-    ri = rows.reshape(S, E, n_samp).astype(jnp.float32)  # (S, E, P')
-    ci = cols.reshape(S, E, n_samp).astype(jnp.float32)
+    ri = rows.reshape(S, E, n_samp).astype(dt)  # (S, E, P')
+    ci = cols.reshape(S, E, n_samp).astype(dt)
     wy = jnp.maximum(
-        0.0, 1.0 - jnp.abs(ri[..., None] - jnp.arange(Hs, dtype=jnp.float32))
+        dt(0.0), 1.0 - jnp.abs(ri[..., None] - jnp.arange(Hs, dtype=dt))
     )  # (S, E, P', Hs) — exactly one 1 per row (integer coords)
     wx = jnp.maximum(
-        0.0, 1.0 - jnp.abs(ci[..., None] - jnp.arange(Ws, dtype=jnp.float32))
+        dt(0.0), 1.0 - jnp.abs(ci[..., None] - jnp.arange(Ws, dtype=dt))
     )  # (S, E, P', Ws)
     paf_e = pafs.reshape(S, Hs, Ws, E, 2)
-    row_mix = jnp.einsum("seph,shwec->sepwc", wy, paf_e)  # (S, E, P', Ws, 2)
-    sampled = jnp.einsum("sepwc,sepw->sepc", row_mix, wx)  # (S, E, P', 2)
+    row_mix = jnp.einsum(
+        "seph,shwec->sepwc", wy, paf_e, preferred_element_type=dt
+    )  # (S, E, P', Ws, 2); one-hot row-select keeps values exact
+    sampled = jnp.einsum(
+        "sepwc,sepw->sepc", row_mix, wx, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)  # (S, E, P', 2)
     paf_x = sampled[..., 0].reshape(S, E, K, K, -1)
     paf_y = sampled[..., 1].reshape(S, E, K, K, -1)
 

@@ -205,7 +205,7 @@ def _local_peaks_kernel_banded(
             peak_val = jnp.max(rowmax)
             iy = jnp.min(jnp.where(rowmax == peak_val, rows1, H))
             base8 = jnp.clip((iy // 8) * 8, 0, H - 8)
-            band = masked_ref[k, pl.ds(base8, 8), :]
+            band = masked_ref[k, pl.ds(pl.multiple_of(base8, 8), 8), :]
             band_rows = brows + base8
             band_lin = band_rows * W + bcols
             for m_prev in taken:
@@ -215,7 +215,9 @@ def _local_peaks_kernel_banded(
             ix = m % W
             if refine:
                 wbase = jnp.clip(((iy - half) // 8) * 8, 0, H - 16)
-                win = cms_ref[k, pl.ds(wbase, 16), :].astype(jnp.float32)
+                win = cms_ref[
+                    k, pl.ds(pl.multiple_of(wbase, 8), 16), :
+                ].astype(jnp.float32)
                 wr = wrows + wbase
                 wcols = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
                 in_win = (jnp.abs(wr - iy) <= half) & (jnp.abs(wcols - ix) <= half)
