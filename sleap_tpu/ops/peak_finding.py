@@ -214,18 +214,29 @@ def crop_bboxes_unit(
     yi = jnp.clip(yd, 0, max(H - crop_h - 1, 0))
     xi = jnp.clip(xd, 0, max(W - crop_w - 1, 0))
 
-    def one(bi, yy, xx, dy, dx):
-        patch = lax.dynamic_slice(
+    def one(bi, yy, xx):
+        return lax.dynamic_slice(
             images[bi], (yy, xx, 0), (crop_h + 1, crop_w + 1, C)
         )
-        # Shift so patch[r, c] holds pixel (y0 + r, x0 + c); wrapped taps
-        # are masked below.
-        return jnp.roll(patch, (-dy, -dx), axis=(0, 1))
 
-    patches = jax.vmap(one)(
-        box_indices.astype(jnp.int32), yi, xi, yd - yi, xd - xi
-    )
+    patches = jax.vmap(one)(box_indices.astype(jnp.int32), yi, xi)
     patches = patches.astype(jnp.float32)
+
+    # Re-align each patch to its true origin: out[r] = patch[r + dy]. As
+    # one-hot permutation MATMULS, not jnp.roll with traced shifts —
+    # vmapped dynamic roll lowers to while-loop gathers that blow up
+    # superlinearly with batch (measured: the top-down batch-32 "cliff",
+    # 2500 -> 1030 FPS, was two _roll_dynamic whiles at 11 ms each).
+    # Out-of-range selections produce all-zero rows, which IS the required
+    # zero extrapolation (TF crop_and_resize extrapolation_value=0).
+    rr = jnp.arange(crop_h + 1)
+    cc = jnp.arange(crop_w + 1)
+    dy = (yd - yi)[:, None, None]
+    dx = (xd - xi)[:, None, None]
+    row_oh = (rr[None, :, None] + dy == rr[None, None, :]).astype(jnp.float32)
+    col_oh = (cc[None, :, None] + dx == cc[None, None, :]).astype(jnp.float32)
+    patches = jnp.einsum("nrs,nswc->nrwc", row_oh, patches)
+    patches = jnp.einsum("nwv,nrvc->nrwc", col_oh, patches)
     gy = yd[:, None] + jnp.arange(crop_h + 1)[None, :]
     gx = xd[:, None] + jnp.arange(crop_w + 1)[None, :]
     my = ((gy >= 0) & (gy < H)).astype(jnp.float32)[:, :, None, None]
