@@ -230,9 +230,13 @@ def bench_infer_fps(infer, batch, img_hw, n_iters, inner=1):
 
 
 def bench_topdown():
-    predictor = build_topdown_predictor(batch=16)
+    # Batch sweep (round 3, after the one-hot crop-realignment fix removed
+    # the superlinear dynamic-roll cost): 16 -> 2521, 24 -> 3096, 32 -> 3542,
+    # 48 -> 4001, 64 -> 4375, 96 -> 5002, 128 -> 5316, 192 -> 5323 FPS —
+    # monotone to a plateau; 128 is the headline config.
+    predictor = build_topdown_predictor(batch=128)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 16, IMG, n_iters=30)
+    fps, _ = bench_infer_fps(infer, 128, IMG, n_iters=16)
     return {
         "metric": "topdown_inference_fps_1024",
         "value": round(fps, 2),
@@ -255,12 +259,12 @@ def bench_topdown_latency():
 
 
 def bench_bottomup():
-    # Batch sweep (round 2, after split/fused decoder convs + subset-DP LAP):
-    # 32 -> 1094 FPS, 48 -> 1200, 64 -> 1211. No crop stage, so no batch-32
-    # cliff like top-down; 64 is the throughput sweet spot.
-    predictor = build_bottomup_predictor(batch=64)
+    # Round-3 sweep (with on-chip assembly + banded peaks + bf16 PAF):
+    # 64 -> 1230, 96 -> 1394, 128 -> 1530, 192 -> 1391, 256 -> 1616 FPS.
+    # Larger batches amortize the per-iter fixed costs; 256 is the headline.
+    predictor = build_bottomup_predictor(batch=256)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 64, IMG, n_iters=20)
+    fps, _ = bench_infer_fps(infer, 256, IMG, n_iters=8)
     return {
         "metric": "bottomup_inference_fps_1024",
         "value": round(fps, 2),
