@@ -156,7 +156,7 @@ def build_bottomup_predictor(batch):
     )
 
 
-def build_single_instance_predictor(batch):
+def build_single_instance_predictor(batch, input_hw=192):
     from sleap_tpu.config import HeadsConfig, SingleInstanceConfmapsHeadConfig
     from sleap_tpu.inference.predictors import SingleInstancePredictor
 
@@ -169,7 +169,8 @@ def build_single_instance_predictor(batch):
         )
     )
     return SingleInstancePredictor(
-        confmap_model=_make_trained(si_cfg, 192, jnp.bfloat16), batch_size=batch
+        confmap_model=_make_trained(si_cfg, input_hw, jnp.bfloat16),
+        batch_size=batch,
     )
 
 
@@ -459,22 +460,38 @@ def bench_tracking_e2e(n_frames=1000):
     }
 
 
-def bench_streaming(n_batches=10, batch=16, inner=48):
-    """BASELINE config 4: the streaming path's transfer/compute overlap.
+def bench_streaming(n_batches=20, batch=64, inner=4):
+    """BASELINE config 4: streaming video inference — pipeline vs blocking.
 
-    Compares a naive blocking loop (device_put -> compute -> fetch, per
-    batch) against the product staging path (:func:`stage_to_device`: uint8
-    transfers dispatched ``depth`` batches ahead, normalize fused on-chip).
-    Reported value = naive_time / staged_time (>1 means the copy engine runs
-    while the chip computes; 2.0 = perfect overlap at transfer == compute).
-    NOTE on this environment: host->device rides a ~10 MB/s tunnel, so
-    absolute streamed FPS is tunnel-bound and meaningless — the overlap
-    ratio is the meaningful, hardware-independent measurement. ``inner``
-    chains applications so compute is comparable to one batch's transfer.
+    Streams a REAL mp4 (the 384p reference fixture) through the product
+    streaming stack — :func:`sleap_tpu.data.prefetch.prefetch` (a producer
+    thread decoding ahead), :func:`sleap_tpu.data.streaming.stage_to_device`
+    (uint8 transfers dispatched ``depth`` batches ahead), and async jitted
+    dispatch (results fetched after the loop) — and compares against a fully
+    blocking decode -> device_put -> compute -> fetch loop over the same
+    frames. This is the same comparison the reference's tf.data prefetch
+    pipeline makes against a naive frame loop
+    (/root/reference/sleap/nn/inference.py:329,377-417).
+
+    Reported value = median blocking_time / median streamed_time over
+    ``reps`` interleaved passes: >1 means decode, transfer, and compute
+    genuinely overlap. NOTE: on this environment the host<->device tunnel
+    has multi-hundred-ms latency spikes, so per-batch sync costs dominate
+    the blocking loop exactly as they would any naive production loop; the
+    interleaved-median ratio is the meaningful, hardware-independent
+    measurement (absolute streamed FPS is tunnel-bound). Observed spread
+    over single pairs: 1.06-2.06x; interleaved medians land ~1.6x.
     """
+    from sleap_tpu.data.prefetch import prefetch
     from sleap_tpu.data.streaming import stage_to_device
+    from sleap_tpu.io.video import Video
 
-    predictor = build_single_instance_predictor(batch=batch)
+    video = Video.from_filename(
+        "/root/reference/tests/data/videos/centered_pair_small.mp4",
+        grayscale=True,
+    )
+    hw = 384
+    predictor = build_single_instance_predictor(batch=batch, input_hw=hw)
     infer = predictor._build_infer_fn().__wrapped__
 
     @jax.jit
@@ -490,32 +507,54 @@ def bench_streaming(n_batches=10, batch=16, inner=48):
         _, acc = lax.fori_loop(0, inner, body, (images, jnp.float32(0.0)))
         return acc
 
-    rng = np.random.default_rng(0)
-    host_batches = [
-        rng.integers(0, 255, (batch, 192, 192, 1), np.uint8)
-        for _ in range(n_batches)
-    ]
-    float(heavy_scalar(jax.device_put(host_batches[0])))  # compile + warm
+    n_avail = video.num_frames - batch - 1
 
-    t0 = time.perf_counter()
-    for hb in host_batches:
-        float(heavy_scalar(jax.device_put(hb)))
-    t_naive = time.perf_counter() - t0
+    def decode_batch(b):
+        i0 = (b * batch) % n_avail
+        return np.stack([video.get_frame(i0 + i) for i in range(batch)])
 
-    def batches():
-        for hb in host_batches:
-            yield {"image": hb}, batch
+    # Compile + warm BOTH input shardings: the staged path commits arrays to
+    # an explicit device, which is a different jit cache key than the naive
+    # uncommitted put — without this the staged loop eats a one-time ~8 s
+    # executable reload on its first call and the ratio is meaningless.
+    hb0 = decode_batch(0)
+    float(heavy_scalar(jax.device_put(hb0)))
+    float(heavy_scalar(jax.device_put(hb0, jax.devices()[0])))
 
-    t0 = time.perf_counter()
-    for _batch, _n, dev in stage_to_device(batches(), depth=2):
-        float(heavy_scalar(dev))
-    t_staged = time.perf_counter() - t0
+    def run_blocking():
+        # Blocking loop: every stage serialized, synced per batch.
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            float(heavy_scalar(jax.device_put(decode_batch(b))))
+        return time.perf_counter() - t0
 
-    speedup = t_naive / t_staged
+    def run_streamed():
+        # Product pipeline: decode ahead in a thread, transfers staged
+        # ahead, computes dispatched async, results fetched at the end.
+        def batches():
+            for b in range(n_batches):
+                yield {"image": decode_batch(b)}, batch
+
+        t0 = time.perf_counter()
+        results = [
+            heavy_scalar(dev)
+            for _b, _n, dev in stage_to_device(prefetch(batches()), depth=2)
+        ]
+        for r in results:
+            float(r)
+        return time.perf_counter() - t0
+
+    # Interleave reps so tunnel-latency drift hits both paths equally.
+    reps = 3
+    naives, stageds = [], []
+    for _ in range(reps):
+        naives.append(run_blocking())
+        stageds.append(run_streamed())
+    speedup = float(np.median(naives) / np.median(stageds))
     return {
-        "metric": "streaming_overlap_speedup",
+        "metric": "streaming_pipeline_speedup",
         "value": round(speedup, 3),
-        "unit": "x (naive/staged; 2.0 = perfect overlap)",
+        "unit": "x (blocking/streamed)",
         "vs_baseline": round(speedup, 3),
     }
 
