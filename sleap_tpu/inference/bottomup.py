@@ -35,6 +35,15 @@ from sleap_tpu.models.model import find_head
 from sleap_tpu.ops.paf_grouping import PAFScorer, match_candidates_batch, score_paf_lines_batch
 from sleap_tpu.ops.peak_finding import find_local_peaks, find_local_peaks_with_offsets
 
+# Optional TPU layout experiment: emit the confmap head channels-first so the
+# peak finder skips the NHWC->NCHW relayout (see _build_infer_fn). Measured on
+# the v5e at the bench config (batch 256 @1024²): 1510 FPS vs 1620 with the
+# plain NHWC head — the einsum head forfeits XLA's fusion of the 1x1 head conv
+# with the preceding refine conv, which outweighs the saved relayout. Default
+# OFF; kept because the equivalence is tested and other model shapes may
+# rank differently (isolated microbenchmarks showed +19% for the einsum).
+CHANNELS_FIRST_CONFMAPS = False
+
 
 @attr.s(auto_attribs=True)
 class BottomUpPredictor(Predictor):
@@ -87,10 +96,27 @@ class BottomUpPredictor(Predictor):
         scorer = self._make_paf_scorer()
         edge_inds = jnp.asarray(scorer.edge_inds, jnp.int32)
 
+        # Optional: without an offset head, the model can emit the confmap
+        # head channels-first ((C, S, H, W) via an einsum dot — the param
+        # tree is unchanged) so the peak finder skips its NHWC->NCHW
+        # relayout. See CHANNELS_FIRST_CONFMAPS above for why this defaults
+        # off (measured slower in context on the bench config).
+        module = tm.module
+        channels_first = False
+        if (
+            CHANNELS_FIRST_CONFMAPS
+            and hasattr(module, "channels_first_heads")
+            and not any("OffsetRefinement" in s[0] for s in module.head_specs)
+        ):
+            module = module.clone(
+                channels_first_heads=("MultiInstanceConfmapsHead",)
+            )
+            channels_first = True
+
         @jax.jit
         def infer(images):
             imgs = _preprocess(images, tm.grayscale, input_scale, pad)
-            out = tm.module.apply(tm.variables, imgs, train=False)
+            out = module.apply(tm.variables, imgs, train=False)
             cms = out[find_head(out, "MultiInstanceConfmapsHead")]
             pafs = out[find_head(out, "PartAffinityFieldsHead")]
             off_key = find_head(out, "OffsetRefinementHead")
@@ -102,6 +128,7 @@ class BottomUpPredictor(Predictor):
                 peaks, vals, mask = find_local_peaks(
                     cms, max_peaks=K, threshold=threshold,
                     refinement=refinement, integral_patch_size=patch,
+                    channels_first=channels_first,
                 )
             peaks = peaks * float(cm_stride)  # model-input scale
             scores = score_paf_lines_batch(

@@ -520,12 +520,22 @@ def find_local_peaks(
     refinement: Optional[str] = None,
     integral_patch_size: int = 5,
     use_pallas: Optional[bool] = None,
+    channels_first: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Thin dispatcher: resolve the Pallas/XLA choice OUTSIDE the jitted body
     so it participates in the jit cache key (FORCE_XLA_PEAKS flips must not
-    hit a stale cached trace)."""
+    hit a stale cached trace).
+
+    ``channels_first=True`` means ``cms`` is (channels, samples, H, W) — the
+    layout the :class:`~sleap_tpu.models.model._ChannelsFirstConv1x1` head
+    emits natively — and skips the 436 MB (S,H,W,C)->(S,C,H,W) relayout.
+    Returns are (samples, channels, ...) either way.
+    """
+    h_ax = 2 if channels_first else 1
     if use_pallas is None:
-        use_pallas = _pallas_local_peaks_ok(cms.shape[1], cms.shape[2], refinement)
+        use_pallas = _pallas_local_peaks_ok(
+            cms.shape[h_ax], cms.shape[h_ax + 1], refinement
+        )
     return _find_local_peaks_jit(
         cms,
         max_peaks=max_peaks,
@@ -533,6 +543,7 @@ def find_local_peaks(
         refinement=refinement,
         integral_patch_size=integral_patch_size,
         use_pallas=use_pallas,
+        channels_first=channels_first,
     )
 
 
@@ -544,6 +555,7 @@ def find_local_peaks(
         "refinement",
         "integral_patch_size",
         "use_pallas",
+        "channels_first",
     ),
 )
 def _find_local_peaks_jit(
@@ -553,11 +565,13 @@ def _find_local_peaks_jit(
     refinement: Optional[str] = None,
     integral_patch_size: int = 5,
     use_pallas: bool = False,
+    channels_first: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-K local maxima per sample×channel, statically shaped.
 
     Args:
-        cms: (samples, height, width, channels).
+        cms: (samples, height, width, channels), or
+            (channels, samples, height, width) when ``channels_first``.
         max_peaks: static bound K on peaks per sample×channel.
 
     Returns:
@@ -565,12 +579,23 @@ def _find_local_peaks_jit(
         peak_vals: (samples, channels, K); 0 where invalid.
         peak_mask: (samples, channels, K) bool validity.
     """
-    samples, H, W, channels = cms.shape
-    # ONE transpose to (S, C, H, W), then NMS / top-k / refinement all run in
-    # that layout: W sits in the lane dim (full 128-lane utilization, vs C~13
-    # channels-last) and the refinement reuses the same array instead of a
-    # second 27 MB transpose.
-    cms_t = jnp.transpose(cms, (0, 3, 1, 2))  # (S, C, H, W)
+    if channels_first:
+        # Maps already arrive as per-channel (H, W) planes; the per-map math
+        # below is order-agnostic, so run it on (C, S, ...) and swap the two
+        # tiny leading axes of the results at the end.
+        channels, samples, H, W = cms.shape
+        cms_t = cms  # (C, S, H, W)
+    else:
+        samples, H, W, channels = cms.shape
+        # ONE transpose to (S, C, H, W), then NMS / top-k / refinement all run
+        # in that layout: W sits in the lane dim (full 128-lane utilization,
+        # vs C~13 channels-last) and the refinement reuses the same array
+        # instead of a second 27 MB transpose.
+        cms_t = jnp.transpose(cms, (0, 3, 1, 2))  # (S, C, H, W)
+
+    def _unswap(arr):
+        # (C, S, ...) -> (S, C, ...) on K-sized arrays (tiny) when needed.
+        return jnp.swapaxes(arr, 0, 1) if channels_first else arr
 
     if use_pallas:
         from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
@@ -583,36 +608,39 @@ def _find_local_peaks_jit(
             integral_patch_size=integral_patch_size,
             refine=refinement == "integral",
         )
-        peaks = peaks_f.reshape(samples, channels, max_peaks, 2)
-        vals = vals_f.reshape(samples, channels, max_peaks)
+        d0, d1 = cms_t.shape[0], cms_t.shape[1]
+        peaks = _unswap(peaks_f.reshape(d0, d1, max_peaks, 2))
+        vals = _unswap(vals_f.reshape(d0, d1, max_peaks))
         valid = jnp.isfinite(vals)
         peaks = jnp.where(valid[..., None], peaks, jnp.nan)
         return peaks, jnp.where(valid, vals, 0.0), valid
     is_peak = _local_nms_nchw(cms_t, threshold)
 
-    flat_vals = cms_t.reshape(samples, channels, H * W)
-    flat_mask = is_peak.reshape(samples, channels, H * W)
+    d0, d1 = cms_t.shape[0], cms_t.shape[1]
+    flat_vals = cms_t.reshape(d0, d1, H * W)
+    flat_mask = is_peak.reshape(d0, d1, H * W)
     masked_vals = jnp.where(flat_mask, flat_vals, -jnp.inf)
 
-    top_vals, top_idx = _hierarchical_top_k(masked_vals, max_peaks)  # (S, C, K)
+    top_vals, top_idx = _hierarchical_top_k(masked_vals, max_peaks)  # (d0, d1, K)
     valid = jnp.isfinite(top_vals)
     ys = (top_idx // W).astype(jnp.float32)
     xs = (top_idx % W).astype(jnp.float32)
-    peaks = jnp.stack([xs, ys], axis=-1)  # (S, C, K, 2)
+    peaks = jnp.stack([xs, ys], axis=-1)  # (d0, d1, K, 2)
 
     if refinement is not None:
-        cms_flat = cms_t.reshape(samples * channels, H, W)
-        flat_peaks = peaks.reshape(samples * channels * max_peaks, 2)
+        cms_flat = cms_t.reshape(d0 * d1, H, W)
+        flat_peaks = peaks.reshape(d0 * d1 * max_peaks, 2)
         map_inds = jnp.repeat(
-            jnp.arange(samples * channels, dtype=jnp.int32), max_peaks
+            jnp.arange(d0 * d1, dtype=jnp.int32), max_peaks
         )
         refined = _refine_peaks(
             cms_flat, flat_peaks, map_inds, refinement, integral_patch_size
         )
-        peaks = refined.reshape(samples, channels, max_peaks, 2)
+        peaks = refined.reshape(d0, d1, max_peaks, 2)
 
-    peaks = jnp.where(valid[..., None], peaks, jnp.nan)
-    vals = jnp.where(valid, top_vals, 0.0)
+    valid = _unswap(valid)
+    peaks = jnp.where(valid[..., None], _unswap(peaks), jnp.nan)
+    vals = jnp.where(valid, _unswap(top_vals), 0.0)
     return peaks, vals, valid
 
 

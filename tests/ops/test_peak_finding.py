@@ -199,3 +199,47 @@ def test_smooth_imgs():
     # Truncated 5x5 kernel normalized by the analytic 2*pi*sigma^2 carries
     # ~98.2% of the mass (identical to the reference's kernel).
     assert float(jnp.sum(sm[0, ..., 0])) == pytest.approx(0.9823, abs=1e-3)
+
+
+def test_find_local_peaks_channels_first_matches():
+    """(C,S,H,W) input (channels-first head layout) == NHWC path exactly."""
+    rng = np.random.RandomState(0)
+    xv, yv = make_grid_vectors(64, 64, 1)
+    instances = jnp.asarray(rng.uniform(4, 60, size=(3, 5, 2)), jnp.float32)
+    cms = make_multi_confmaps(instances, xv, yv, sigma=1.5)
+    cms = jnp.stack([cms, cms * 0.9], axis=0)  # (S=2, H, W, C=5)
+    for refinement in (None, "integral"):
+        ref = find_local_peaks(
+            cms, max_peaks=4, threshold=0.2, refinement=refinement
+        )
+        got = find_local_peaks(
+            jnp.transpose(cms, (3, 0, 1, 2)),
+            max_peaks=4, threshold=0.2, refinement=refinement,
+            channels_first=True,
+        )
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_channels_first_head_matches_conv():
+    """_ChannelsFirstConv1x1 shares nn.Conv's param tree and matches its
+    output (transposed) bit-for-bit in f32."""
+    import flax.linen as nn
+    import jax
+
+    from sleap_tpu.models.model import _ChannelsFirstConv1x1
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 8, 7), jnp.float32)
+    conv = nn.Conv(features=5, kernel_size=(1, 1), padding="SAME", name="h")
+    cf = _ChannelsFirstConv1x1(features=5, name="h")
+    v = conv.init(jax.random.PRNGKey(0), x)
+    jax.tree_util.tree_map(  # identical param tree -> checkpoints interchange
+        lambda a, b: None,
+        v, cf.init(jax.random.PRNGKey(0), x),
+    )
+    ref = conv.apply(v, x)  # (S, H, W, K)
+    got = cf.apply(v, x)  # (K, S, H, W)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (1, 2, 3, 0))), np.asarray(ref),
+        atol=1e-6,
+    )
