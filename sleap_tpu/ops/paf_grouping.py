@@ -119,8 +119,12 @@ def score_paf_lines_batch(
     row_mix = jnp.einsum(
         "seph,shwec->sepwc", wy, paf_e, preferred_element_type=dt
     )  # (S, E, P', Ws, 2); one-hot row-select keeps values exact
+    # Column-select: exactly ONE nonzero term per output, so accumulating in
+    # dt is exact too. Requesting f32 accumulation here made XLA materialize
+    # f32 copies of the (S, E, P', Ws) one-hot (~2 GB, ~4.4 ms/iter at batch
+    # 256 in the trace: copy.382 + fusion.193) purely to feed the dot.
     sampled = jnp.einsum(
-        "sepwc,sepw->sepc", row_mix, wx, preferred_element_type=jnp.float32
+        "sepwc,sepw->sepc", row_mix, wx, preferred_element_type=dt
     ).astype(jnp.float32)  # (S, E, P', 2)
     paf_x = sampled[..., 0].reshape(S, E, K, K, -1)
     paf_y = sampled[..., 1].reshape(S, E, K, K, -1)
