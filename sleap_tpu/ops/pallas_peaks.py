@@ -256,6 +256,110 @@ def _local_peaks_kernel_banded(
             rowmax = jnp.where(rows1 == iy, new_row_max, rowmax)
 
 
+def _local_peaks_kernel_packed(
+    cms_ref,
+    x_ref,
+    y_ref,
+    v_ref,
+    keys_ref,
+    *,
+    threshold: float,
+    k_peaks: int,
+    half: int,
+    refine: bool,
+):
+    """Packed-key top-K variant of :func:`_local_peaks_kernel_banded`.
+
+    For bf16 maps with ``H * W <= 2**16``, each NMS survivor packs EXACTLY
+    into one int32 sort key: ``(f32_bits >> 16) << 16 | (65535 - lin)``.
+    The high half is the value's bf16 bit pattern (monotone in value for
+    positive floats — threshold > 0 guarantees positivity; -inf packs
+    negative), the low half breaks ties toward the SMALLEST linear index —
+    ``jnp.argmax``'s first-occurrence rule. One (H, 1) rowmax of keys then
+    yields value AND position in a single reduction per extracted peak:
+    the banded kernel's per-peak column search (band compare + min-index)
+    and O(j) taken-list suppression collapse into scalar bit decodes plus
+    one band write-back (keys are unique, so suppression is an exact
+    compare). Measured ~2x faster than the banded kernel on the extraction
+    phase at (3328, 256, 256) k=8 (see CLAUDE.md round-3 notes).
+    """
+    H, W = cms_ref.shape[1], cms_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    brows = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+    bcols = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (16, W), 0)
+    neg_inf = jnp.float32(-jnp.inf)
+    int_min = jnp.int32(-(2**31))
+    for k in range(cms_ref.shape[0]):
+        cm = cms_ref[k].astype(jnp.float32)  # (H, W)
+
+        # Separable NMS (see _local_peaks_kernel_banded).
+        left = pltpu.roll(cm, 1, 1)
+        right = pltpu.roll(cm, W - 1, 1)
+        lr = jnp.maximum(
+            jnp.where(cols >= 1, left, neg_inf),
+            jnp.where(cols < W - 1, right, neg_inf),
+        )
+        colmax = jnp.maximum(cm, lr)
+        up = pltpu.roll(colmax, H - 1, 0)
+        down = pltpu.roll(colmax, 1, 0)
+        nbr = jnp.maximum(
+            jnp.maximum(
+                jnp.where(rows < H - 1, up, neg_inf),
+                jnp.where(rows >= 1, down, neg_inf),
+            ),
+            lr,
+        )
+        masked = jnp.where((cm > nbr) & (cm > threshold), cm, neg_inf)
+
+        # Pack: value bits (exact for bf16-origin f32) over inverted index.
+        bits = jax.lax.bitcast_convert_type(masked, jnp.int32) >> 16
+        keys = (bits << 16) | (jnp.int32(H * W - 1) - (rows * W + cols))
+        keys_ref[k] = keys
+
+        rowmax = jnp.max(keys, axis=1, keepdims=True)  # (H, 1) int32
+        for j in range(k_peaks):
+            best = jnp.max(rowmax)
+            lin = jnp.int32(H * W - 1) - (best & jnp.int32(0xFFFF))
+            iy = lin // W
+            ix = lin % W
+            if refine:
+                wbase = jnp.clip(((iy - half) // 8) * 8, 0, H - 16)
+                win = cms_ref[
+                    k, pl.ds(pl.multiple_of(wbase, 8), 16), :
+                ].astype(jnp.float32)
+                wr = wrows + wbase
+                wcols = jax.lax.broadcasted_iota(jnp.int32, (16, W), 1)
+                in_win = (jnp.abs(wr - iy) <= half) & (jnp.abs(wcols - ix) <= half)
+                w = jnp.where(in_win, win, 0.0)
+                z = jnp.sum(w)
+                dx_hat = jnp.sum(w * (wcols - ix).astype(jnp.float32)) / z
+                dy_hat = jnp.sum(w * (wr - iy).astype(jnp.float32)) / z
+                x = ix.astype(jnp.float32) + dx_hat
+                y = iy.astype(jnp.float32) + dy_hat
+            else:
+                x = ix.astype(jnp.float32)
+                y = iy.astype(jnp.float32)
+            x_ref[k, j, 0] = x
+            y_ref[k, j, 0] = y
+            # Mosaic has no SCALAR bitcast, so emit the raw key; the wrapper
+            # decodes value bits (and validity: key <= 0) vectorized in XLA.
+            v_ref[k, j, 0] = best
+            # Suppress the (unique) key in the scratch band and refresh the
+            # one changed row maximum.
+            base8 = jnp.clip((iy // 8) * 8, 0, H - 8)
+            band = keys_ref[k, pl.ds(pl.multiple_of(base8, 8), 8), :]
+            band = jnp.where(band == best, int_min, band)
+            keys_ref[k, pl.ds(pl.multiple_of(base8, 8), 8), :] = band
+            band_rows = brows + base8
+            new_row_max = jnp.max(
+                jnp.where(band_rows == iy, band, int_min)
+            )
+            rowmax = jnp.where(rows1 == iy, new_row_max, rowmax)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -289,10 +393,21 @@ def find_local_peaks_fused_pallas(
     half = (integral_patch_size - 1) // 2
 
     # Banded kernel needs >= 2 aligned 8-row bands (and half <= 6 so the
-    # 16-row refinement window always covers the patch).
+    # 16-row refinement window always covers the patch). The packed-key
+    # variant additionally needs bf16 values (so the 16-bit key high half is
+    # exact), a positive threshold (so valid keys are positive), and linear
+    # indices that fit 16 bits.
     banded = _HAS_PLTPU and H >= 16 and H % 8 == 0 and half <= 6
+    packed = (
+        banded
+        and maps.dtype == jnp.bfloat16
+        and H * W <= 2**16
+        and threshold > 0.0
+    )
     kernel = functools.partial(
-        _local_peaks_kernel_banded if banded else _local_peaks_kernel,
+        _local_peaks_kernel_packed
+        if packed
+        else (_local_peaks_kernel_banded if banded else _local_peaks_kernel),
         threshold=threshold,
         k_peaks=max_peaks,
         half=half,
@@ -304,11 +419,17 @@ def find_local_peaks_fused_pallas(
         (_BLOCK_MAPS, max_peaks, 1), lambda i: (i, 0, 0), memory_space=smem
     )
     out_shape = jax.ShapeDtypeStruct((total, max_peaks, 1), jnp.float32)
-    scratch = (
-        [pltpu.VMEM((_BLOCK_MAPS, H, W), maps.dtype)]
-        if (banded and _HAS_PLTPU)
-        else []
+    val_shape = (
+        jax.ShapeDtypeStruct((total, max_peaks, 1), jnp.int32)
+        if packed
+        else out_shape
     )
+    if packed and _HAS_PLTPU:
+        scratch = [pltpu.VMEM((_BLOCK_MAPS, H, W), jnp.int32)]
+    elif banded and _HAS_PLTPU:
+        scratch = [pltpu.VMEM((_BLOCK_MAPS, H, W), maps.dtype)]
+    else:
+        scratch = []
     x, y, v = pl.pallas_call(
         kernel,
         grid=(total // _BLOCK_MAPS,),
@@ -316,12 +437,20 @@ def find_local_peaks_fused_pallas(
             pl.BlockSpec((_BLOCK_MAPS, H, W), lambda i: (i, 0, 0), memory_space=vmem)
         ],
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_shape=(out_shape, out_shape, val_shape),
         scratch_shapes=scratch,
         interpret=interpret,
     )(maps)
     peaks = jnp.stack([x[:n_maps, :, 0], y[:n_maps, :, 0]], axis=-1)
-    return peaks, v[:n_maps, :, 0]
+    vals = v[:n_maps, :, 0]
+    if packed:
+        # Decode the packed keys: high 16 bits are the value's bf16/f32-top
+        # bit pattern; key <= 0 marks an empty slot.
+        decoded = jax.lax.bitcast_convert_type(
+            (vals >> 16) << 16, jnp.float32
+        )
+        vals = jnp.where(vals > 0, decoded, -jnp.inf)
+    return peaks, vals
 
 
 @functools.partial(

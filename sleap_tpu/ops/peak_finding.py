@@ -600,6 +600,11 @@ def _find_local_peaks_jit(
     if use_pallas:
         from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
 
+        # NOTE (round 3): feeding the kernel (S, C, W, H) — hoping the
+        # (0, 3, 2, 1) transpose would bitcast the conv's batch-minor
+        # output layout — does NOT remove the pre-pallas relayout copy
+        # (the head conv emits {0,1,2,3}: BATCH innermost), measured equal
+        # in-context. Keep (S, C, H, W): row-major tie-break parity.
         flat = cms_t.reshape(samples * channels, H, W)
         peaks_f, vals_f = find_local_peaks_fused_pallas(
             flat,
