@@ -160,8 +160,13 @@ def match_candidates_batch(
     cost = jnp.where(jnp.isnan(scores), PAD_COST, -scores)
     col4row, _ = batched_solve_lap(cost.reshape(S * E, K, K))
     dst_for_src = col4row.reshape(S, E, K)
-    picked = jnp.take_along_axis(scores.reshape(S * E, K, K), col4row[..., None], axis=2)
-    match_scores = picked[..., 0].reshape(S, E, K)
+    # One-hot where-sum instead of a gather (tiny-tensor gathers carry fixed
+    # XLA overhead on TPU; NaN-safe select, see group_instances_batch).
+    pick_oh = col4row[..., None] == jnp.arange(K, dtype=jnp.int32)
+    picked = jnp.sum(
+        jnp.where(pick_oh, scores.reshape(S * E, K, K), 0.0), axis=2
+    )
+    match_scores = picked.reshape(S, E, K)
     match_valid = ~jnp.isnan(match_scores)
     return dst_for_src, match_scores, match_valid
 
@@ -309,11 +314,15 @@ def group_instances_batch(
     rank = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1  # (S, I)
     rank = jnp.where(present, rank, max_ids)
 
-    # Per-slot output row (M = padded-out sentinel).
-    slot_rank = jnp.take_along_axis(
-        jnp.pad(rank, ((0, 0), (0, 1)), constant_values=max_ids),
-        jnp.where(flat >= 0, flat, max_ids).reshape(S, -1),
-        axis=1,
+    # Per-slot output row (M = padded-out sentinel). One-hot where-sum
+    # instead of take_along_axis: these tiny-tensor gathers cost ~3 ms/iter
+    # of fixed XLA gather overhead at batch 256 (profiled round 3), while
+    # the equivalent compare+select+reduce fuses to ~nothing.
+    rank_padded = jnp.pad(rank, ((0, 0), (0, 1)), constant_values=max_ids)
+    slot_idx = jnp.where(flat >= 0, flat, max_ids)  # (S, N*K)
+    idx_oh = slot_idx[:, :, None] == jnp.arange(max_ids + 1)[None, None, :]
+    slot_rank = jnp.sum(
+        jnp.where(idx_oh, rank_padded[:, None, :], 0), axis=2
     ).reshape(S, N, K)
     slot_rank = jnp.where(slot_rank < M, slot_rank, M)
 
@@ -324,11 +333,18 @@ def group_instances_batch(
     winner_k = jnp.argmax(keyed, axis=2)  # (S, N, M)
     has_slot = jnp.any(one_hot, axis=2)  # (S, N, M)
 
-    gathered = jnp.take_along_axis(peaks, winner_k[..., None], axis=2)  # (S,N,M,2)
+    # One-hot where-sum gathers (NaN-safe: select, don't multiply — the
+    # padded peak slots are NaN and 0 * NaN would poison the sum).
+    wk_oh = winner_k[..., None] == col_iota[None, None, None, :]  # (S,N,M,K)
+    gathered = jnp.sum(
+        jnp.where(wk_oh[..., None], peaks[:, :, None, :, :], 0.0), axis=3
+    )  # (S, N, M, 2)
     inst_pts = jnp.where(
         has_slot[..., None], gathered, jnp.nan
     ).transpose(0, 2, 1, 3)  # (S, M, N, 2)
-    gathered_vals = jnp.take_along_axis(peak_vals, winner_k, axis=2)
+    gathered_vals = jnp.sum(
+        jnp.where(wk_oh, peak_vals[:, :, None, :], 0.0), axis=3
+    )
     inst_vals = jnp.where(has_slot, gathered_vals, jnp.nan).transpose(0, 2, 1)
 
     # Instance scores: sum of matched-connection scores whose source slot
