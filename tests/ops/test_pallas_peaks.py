@@ -95,3 +95,65 @@ def test_pallas_local_peaks_few_peaks_padding():
     v = np.asarray(v)
     assert np.isfinite(v[0, 0]) and not np.isfinite(v[0, 1:]).any()
     np.testing.assert_allclose(np.asarray(pk)[0, 0], [6, 4], atol=1e-6)
+
+
+def test_packed_kernel_matches_banded_bf16():
+    """The packed-key kernel (bf16, H*W <= 2^16) matches the banded f32 path,
+    including tie handling and empty-slot -inf padding."""
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+
+    cms = _planted_maps()
+    S, H, W, C = cms.shape
+    flat = jnp.transpose(cms, (0, 3, 1, 2)).reshape(S * C, H, W)
+    # bf16 input selects the packed kernel; f32 the banded one.
+    pk_p, v_p = find_local_peaks_fused_pallas(
+        flat.astype(jnp.bfloat16), max_peaks=8, threshold=0.2, interpret=True
+    )
+    pk_b, v_b = find_local_peaks_fused_pallas(
+        flat.astype(jnp.bfloat16).astype(jnp.float32),
+        max_peaks=8,
+        threshold=0.2,
+        interpret=True,
+    )
+    m_p, m_b = np.isfinite(np.asarray(v_p)), np.isfinite(np.asarray(v_b))
+    assert (m_p == m_b).all()
+    np.testing.assert_allclose(np.asarray(pk_p)[m_p], np.asarray(pk_b)[m_b], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_p)[m_p], np.asarray(v_b)[m_b], atol=1e-6)
+
+
+def test_packed_kernel_value_ties_first_occurrence():
+    """Equal-valued peaks resolve to the smallest linear index first — the
+    jnp.argmax rule the packed key's inverted-index low half encodes."""
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+
+    m = np.zeros((1, 16, 128), np.float32)
+    m[0, 4, 10] = 0.5
+    m[0, 4, 90] = 0.5
+    m[0, 12, 50] = 0.5
+    pk, v = find_local_peaks_fused_pallas(
+        jnp.asarray(m, jnp.bfloat16), max_peaks=3, threshold=0.2,
+        refine=False, interpret=True,
+    )
+    pk = np.asarray(pk)
+    np.testing.assert_allclose(pk[0, 0], [10, 4], atol=1e-6)
+    np.testing.assert_allclose(pk[0, 1], [90, 4], atol=1e-6)
+    np.testing.assert_allclose(pk[0, 2], [50, 12], atol=1e-6)
+    assert np.isfinite(np.asarray(v)[0]).all()
+
+
+def test_packed_gate_falls_back_on_large_maps():
+    """H*W > 2^16 exceeds the 16-bit index budget: must use the banded
+    kernel and still produce correct peaks."""
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas
+
+    m = np.zeros((1, 512, 256), np.float32)  # H*W = 2^17
+    m[0, 100, 30] = 0.75
+    m[0, 400, 200] = 0.5
+    pk, v = find_local_peaks_fused_pallas(
+        jnp.asarray(m, jnp.bfloat16), max_peaks=2, threshold=0.2,
+        refine=False, interpret=True,
+    )
+    pk, v = np.asarray(pk), np.asarray(v)
+    np.testing.assert_allclose(pk[0, 0], [30, 100], atol=1e-6)
+    np.testing.assert_allclose(pk[0, 1], [200, 400], atol=1e-6)
+    np.testing.assert_allclose(v[0], [0.75, 0.5], atol=1e-6)
