@@ -409,20 +409,20 @@ def bench_tracking_e2e(n_frames=1000):
         if t - ref_t != 1 or t >= n_frames:
             return []
         rows = shift_table[t]  # (K_INST, N, 2)
+        pts = np.stack([inst.numpy() for inst in ref_instances])  # (R, N, 2)
+        d = np.nanmean(
+            np.linalg.norm(rows[None] - pts[:, None], axis=-1), axis=-1
+        )  # (R, K_INST)
         out = []
-        for inst in ref_instances:
-            pts = inst.numpy()
-            d = np.nanmean(
-                np.linalg.norm(rows - pts[None], axis=-1), axis=-1
-            )
-            row = int(np.nanargmin(d))
+        for r, inst in enumerate(ref_instances):
+            row = int(np.nanargmin(d[r]))
             out.append(
                 ShiftedInstance(
                     points_array=rows[row],
                     skeleton=inst.skeleton,
                     track=inst.track,
                     frame_t=ref_t,
-                    shift_score=-float(d[row]),
+                    shift_score=-float(d[r, row]),
                 )
             )
         return out

@@ -21,6 +21,18 @@ from sleap_tpu.core.instance import Instance, PredictedInstance, Track
 # --------------------------------------------------------------------------- #
 # Similarity functions
 # --------------------------------------------------------------------------- #
+#
+# Each stock similarity function carries a vectorized ``batch_fn`` attribute
+# computing the full (n_ref, n_query) similarity matrix in one shot;
+# ``FrameMatches.from_candidate_instances`` dispatches to it when present and
+# falls back to the scalar pairwise loop for arbitrary user callables. The
+# batch paths replicate the scalar arithmetic exactly (same dtypes, same
+# reduction order), so results are bit-identical.
+
+
+def _points_stack(instances) -> np.ndarray:
+    """Stack ``inst.numpy()`` for a list of instances into (n, n_nodes, 2)."""
+    return np.stack([inst.numpy() for inst in instances], axis=0)
 
 
 def instance_similarity(ref_instance, query_instance) -> float:
@@ -51,9 +63,39 @@ def normalized_instance_similarity(ref_instance, query_instance, img_hw=None) ->
     return np.nansum(np.exp(-dists)) / n_vis
 
 
+def _batch_instance_similarity(ref_instances, query_instances) -> np.ndarray:
+    ref_pts = _points_stack(ref_instances)  # (R, N, 2)
+    query_pts = _points_stack(query_instances)  # (Q, N, 2)
+    diff = query_pts[None, :] - ref_pts[:, None]  # (R, Q, N, 2)
+    dists = np.sum(diff * diff, axis=-1)  # (R, Q, N)
+    ref_visible = ~(np.isnan(ref_pts).any(axis=-1))  # (R, N)
+    n_vis = np.sum(ref_visible, axis=-1).astype("f8")  # (R,)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = np.nansum(np.exp(-dists), axis=-1) / np.where(
+            n_vis == 0, np.nan, n_vis
+        )[:, None]
+    return sims
+
+
+instance_similarity.batch_fn = _batch_instance_similarity
+# img_hw is only bound via functools.partial inside Tracker.track (which hides
+# this attribute), so the batch path covers exactly the img_hw=None case —
+# where the formula coincides with instance_similarity.
+normalized_instance_similarity.batch_fn = _batch_instance_similarity
+
+
 def centroid_distance(ref_instance, query_instance) -> float:
     """Negative euclidean distance between centroids (:151)."""
     return -float(np.linalg.norm(ref_instance.centroid - query_instance.centroid))
+
+
+def _batch_centroid_distance(ref_instances, query_instances) -> np.ndarray:
+    ref_c = np.stack([inst.centroid for inst in ref_instances])  # (R, 2)
+    query_c = np.stack([inst.centroid for inst in query_instances])  # (Q, 2)
+    return -np.linalg.norm(ref_c[:, None] - query_c[None, :], axis=-1)
+
+
+centroid_distance.batch_fn = _batch_centroid_distance
 
 
 def compute_iou(bbox1: np.ndarray, bbox2: np.ndarray) -> float:
@@ -72,6 +114,24 @@ def compute_iou(bbox1: np.ndarray, bbox2: np.ndarray) -> float:
 def instance_iou(ref_instance, query_instance) -> float:
     """Bounding-box IoU similarity (:172)."""
     return compute_iou(ref_instance.bounding_box, query_instance.bounding_box)
+
+
+def _batch_instance_iou(ref_instances, query_instances) -> np.ndarray:
+    b1 = np.stack([inst.bounding_box for inst in ref_instances])[:, None]  # (R,1,4)
+    b2 = np.stack([inst.bounding_box for inst in query_instances])[None]  # (1,Q,4)
+    y1 = np.maximum(b1[..., 0], b2[..., 0])
+    x1 = np.maximum(b1[..., 1], b2[..., 1])
+    y2 = np.minimum(b1[..., 2], b2[..., 2])
+    x2 = np.minimum(b1[..., 3], b2[..., 3])
+    inter = np.maximum(0.0, y2 - y1) * np.maximum(0.0, x2 - x1)
+    a1 = (b1[..., 2] - b1[..., 0]) * (b1[..., 3] - b1[..., 1])
+    a2 = (b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1])
+    union = a1 + a2 - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+instance_iou.batch_fn = _batch_instance_iou
 
 
 def factory_object_keypoint_similarity(
@@ -110,6 +170,56 @@ def factory_object_keypoint_similarity(
             return np.nan
         return float(np.nansum(np.where(ref_vis & query_vis, ks, 0.0)) / n)
 
+    def _batch(ref_instances, query_instances) -> np.ndarray:
+        ref_pts = _points_stack(ref_instances)  # (R, N, 2)
+        query_pts = _points_stack(query_instances)  # (Q, N, 2)
+        n_nodes = ref_pts.shape[1]
+        errors = np.broadcast_to(np.asarray(keypoint_errors, "f8"), (n_nodes,))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = np.broadcast_to(2 * (errors**2), (len(ref_instances), n_nodes))
+            if score_weighting:
+                ref_scores = np.stack(
+                    [
+                        np.nan_to_num(inst.scores, nan=0.0)
+                        if isinstance(inst, PredictedInstance)
+                        else np.full(n_nodes, np.nan)
+                        for inst in ref_instances
+                    ]
+                )  # (R, N); NaN rows mark non-predicted refs (unweighted)
+                query_scores = np.stack(
+                    [
+                        np.nan_to_num(inst.scores, nan=0.0)
+                        if isinstance(inst, PredictedInstance)
+                        else np.ones(n_nodes)
+                        for inst in query_instances
+                    ]
+                )  # (Q, N)
+                weighted = denom[:, None] / np.maximum(
+                    ref_scores[:, None] * query_scores[None], 1e-8
+                )  # (R, Q, N)
+                denom = np.where(
+                    np.isnan(ref_scores).any(axis=-1)[:, None, None],
+                    denom[:, None],
+                    weighted,
+                )
+            else:
+                denom = denom[:, None]
+            diff = query_pts[None] - ref_pts[:, None]
+            dists = np.sum(diff * diff, axis=-1)  # (R, Q, N)
+            ks = np.exp(-dists / denom)
+        ref_vis = ~np.isnan(ref_pts).any(axis=-1)  # (R, N)
+        query_vis = ~np.isnan(query_pts).any(axis=-1)  # (Q, N)
+        if normalization_keypoints == "ref":
+            n = np.sum(ref_vis, axis=-1)[:, None].astype("f8")  # (R, 1)
+        elif normalization_keypoints == "union":
+            n = np.sum(ref_vis[:, None] | query_vis[None], axis=-1).astype("f8")
+        else:
+            n = np.full((1, 1), float(n_nodes))
+        masked = np.where(ref_vis[:, None, :] & query_vis[None, :, :], ks, 0.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.nansum(masked, axis=-1) / np.where(n == 0, np.nan, n)
+
+    object_keypoint_similarity.batch_fn = _batch
     return object_keypoint_similarity
 
 
@@ -184,20 +294,35 @@ class FrameMatches:
         candidate_tracks: List[Track] = []
         if candidate_instances:
             by_track = defaultdict(list)
-            for inst in candidate_instances:
-                by_track[inst.track].append(inst)
+            for k, inst in enumerate(candidate_instances):
+                by_track[inst.track].append(k)
             candidate_tracks = list(by_track.keys())
             sims = np.full((len(untracked_instances), len(candidate_tracks)), np.nan)
-            for i, untracked in enumerate(untracked_instances):
+            batch_fn = getattr(similarity_function, "batch_fn", None)
+            if batch_fn is not None and untracked_instances:
+                # One vectorized (n_candidates, n_untracked) similarity matrix,
+                # then per-track column reduction — bit-identical to the
+                # scalar pairwise loop below, minus the Python overhead.
+                sims_cu = np.asarray(
+                    batch_fn(candidate_instances, untracked_instances), "f8"
+                )
                 for j, track in enumerate(candidate_tracks):
-                    vals = [
-                        similarity_function(candidate, untracked)
-                        for candidate in by_track[track]
-                    ]
+                    vals = sims_cu[by_track[track]]  # (k_track, n_untracked)
                     if 0 < robust_best_instance < 1:
-                        sims[i, j] = np.quantile(vals, robust_best_instance)
+                        sims[:, j] = np.quantile(vals, robust_best_instance, axis=0)
                     else:
-                        sims[i, j] = np.max(vals)
+                        sims[:, j] = np.max(vals, axis=0)
+            else:
+                for i, untracked in enumerate(untracked_instances):
+                    for j, track in enumerate(candidate_tracks):
+                        vals = [
+                            similarity_function(candidate_instances[k], untracked)
+                            for k in by_track[track]
+                        ]
+                        if 0 < robust_best_instance < 1:
+                            sims[i, j] = np.quantile(vals, robust_best_instance)
+                        else:
+                            sims[i, j] = np.max(vals)
             cost = -sims
             cost[np.isnan(cost)] = np.inf
         return cls.from_cost_matrix(

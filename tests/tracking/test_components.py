@@ -173,3 +173,105 @@ def test_connect_single_track_breaks(skeleton):
     connect_single_track_breaks(frames, instance_count=2)
     tracks_f2 = {inst.track for inst in frames[2].instances}
     assert tracks_f2 == {t1, t2}
+
+
+# --------------------------------------------------------------------------- #
+# Vectorized batch similarity paths match the scalar functions bit-for-bit
+# --------------------------------------------------------------------------- #
+
+
+def _random_instances(skeleton, n, rng, nan_prob=0.25, predicted=True, tracks=None):
+    out = []
+    for k in range(n):
+        pts = rng.uniform(0, 50, (len(skeleton.nodes), 2))
+        mask = rng.uniform(size=len(pts)) < nan_prob
+        pts[mask] = np.nan
+        track = None if tracks is None else tracks[k % len(tracks)]
+        if predicted:
+            out.append(
+                PredictedInstance.from_arrays(
+                    pts,
+                    rng.uniform(0.1, 1.0, len(pts)),
+                    float(rng.uniform()),
+                    skeleton,
+                    track=track,
+                )
+            )
+        else:
+            out.append(Instance(skeleton=skeleton, points=pts, track=track))
+    return out
+
+
+@pytest.fixture
+def skeleton5():
+    sk = Skeleton("t5")
+    sk.add_nodes([f"n{i}" for i in range(5)])
+    return sk
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        instance_similarity,
+        normalized_instance_similarity,
+        centroid_distance,
+        instance_iou,
+        factory_object_keypoint_similarity(),
+        factory_object_keypoint_similarity(keypoint_errors=[1, 2, 3, 2, 1]),
+        factory_object_keypoint_similarity(score_weighting=True),
+        factory_object_keypoint_similarity(normalization_keypoints="ref"),
+        factory_object_keypoint_similarity(normalization_keypoints="union"),
+    ],
+    ids=[
+        "instance",
+        "normalized",
+        "centroid",
+        "iou",
+        "oks",
+        "oks_errors",
+        "oks_weighted",
+        "oks_ref",
+        "oks_union",
+    ],
+)
+def test_batch_similarity_matches_scalar(skeleton5, fn):
+    rng = np.random.default_rng(7)
+    refs = _random_instances(skeleton5, 4, rng)
+    queries = _random_instances(skeleton5, 3, rng)
+    # Mix in a fully-NaN ref (n_vis == 0 -> NaN similarity) and a non-predicted
+    # ref (exercises the score-weighting isinstance branch).
+    refs.append(
+        PredictedInstance.from_arrays(
+            np.full((5, 2), np.nan), np.ones(5), 0.5, skeleton5
+        )
+    )
+    refs += _random_instances(skeleton5, 1, rng, predicted=False)
+    batch = fn.batch_fn(refs, queries)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        expected = np.array([[fn(r, q) for q in queries] for r in refs])
+    # rtol covers the last-ulp difference between scalar np.linalg.norm and
+    # its batched axis= form; everything else matches exactly.
+    np.testing.assert_allclose(batch, expected, rtol=1e-12, atol=0)
+
+
+def test_from_candidate_instances_batch_equals_generic(skeleton5):
+    rng = np.random.default_rng(3)
+    tracks = [Track(name=f"t{i}") for i in range(3)]
+    candidates = _random_instances(skeleton5, 7, rng, tracks=tracks)
+    untracked = _random_instances(skeleton5, 4, rng)
+    for robust in (1.0, 0.75):
+        fast = FrameMatches.from_candidate_instances(
+            untracked, candidates, instance_similarity, hungarian_matching,
+            robust_best_instance=robust,
+        )
+        # A bare lambda has no batch_fn, forcing the scalar pairwise loop.
+        slow = FrameMatches.from_candidate_instances(
+            untracked, candidates,
+            lambda r, q: instance_similarity(r, q), hungarian_matching,
+            robust_best_instance=robust,
+        )
+        np.testing.assert_array_equal(fast.cost_matrix, slow.cost_matrix)
+        assert [(m.track.name, m.score) for m in fast.matches] == [
+            (m.track.name, m.score) for m in slow.matches
+        ]
+        assert len(fast.unmatched_instances) == len(slow.unmatched_instances)
