@@ -190,6 +190,107 @@ def block_upsampling_stride(blk: tuple) -> int:
     return int(blk[1])
 
 
+# --------------------------------------------------------------------------- #
+# Folded space-to-depth stem
+# --------------------------------------------------------------------------- #
+
+#: When True (and ``EncoderDecoderNet.fold_s2d_stem`` is unset), the s2d stem
+#: map is never materialized: every 3x3 SAME conv that consumes it is applied
+#: as an equivalent (3f)x(3f) stride-f conv on the raw image instead, so the
+#: 6-D s2d transpose (two HBM layout copies) disappears from the graph.
+FOLD_S2D_STEM = False
+
+
+class _VirtualS2D:
+    """A space-to-depth map represented lazily by its raw pre-s2d image.
+
+    ``shape`` mimics the materialized map so channel bookkeeping (param
+    shapes, concat offsets) is unchanged; consumers that know how fold their
+    conv onto ``raw`` via :func:`conv_over_s2d`, anyone else calls
+    :meth:`materialize`.
+    """
+
+    def __init__(self, raw: jnp.ndarray, factor: int):
+        self.raw = raw
+        self.factor = int(factor)
+
+    @property
+    def shape(self):
+        n, h, w, c = self.raw.shape
+        f = self.factor
+        return (n, h // f, w // f, c * f * f)
+
+    def materialize(self) -> jnp.ndarray:
+        return space_to_depth(self.raw, self.factor)
+
+
+def fold_s2d_kernel(kernel: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Rewrite a conv-over-s2d kernel as a conv-over-raw kernel.
+
+    A (kh, kw, f*f*c, co) kernel applied to ``space_to_depth(x, f)`` computes
+    the same map as the returned (kh*f, kw*f, c, co) kernel applied to ``x``
+    with stride f: tap (ku, kv) on s2d channel (u_off*f + v_off)*c + ci reads
+    raw pixel (ku*f + u_off, kv*f + v_off) of channel ci.
+    """
+    kh, kw, cin, co = kernel.shape
+    f = int(factor)
+    c_raw = cin // (f * f)
+    k = kernel.reshape(kh, kw, f, f, c_raw, co)
+    k = jnp.transpose(k, (0, 2, 1, 3, 4, 5))
+    return k.reshape(kh * f, kw * f, c_raw, co)
+
+
+def conv_over_s2d(virtual: "_VirtualS2D", kernel: jnp.ndarray) -> jnp.ndarray:
+    """SAME conv over a (virtual) s2d map without materializing it.
+
+    Exact (modulo float reassociation): SAME padding of ``kh // 2`` s2d
+    pixels equals ``(kh // 2) * f`` raw zero pixels. Odd kernels only.
+    """
+    kh = int(kernel.shape[0])
+    if kh % 2 != 1:
+        raise ValueError("conv_over_s2d requires an odd kernel size.")
+    f = virtual.factor
+    pad = (kh // 2) * f
+    return jax.lax.conv_general_dilated(
+        virtual.raw.astype(kernel.dtype),
+        fold_s2d_kernel(kernel, f),
+        (f, f),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+class _S2DFoldedConv(nn.Module):
+    """SAME conv over an s2d map, applied folded on the raw image.
+
+    Parameter tree (``kernel`` of shape (k, k, f*f*c, features), ``bias``)
+    is identical to the ``nn.Conv`` it replaces, so checkpoints trained
+    either way load interchangeably and the fold is a pure runtime flag.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, virtual: _VirtualS2D):
+        k = int(self.kernel_size)
+        c_in = int(virtual.shape[-1])
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c_in, int(self.features)),
+        )
+        y = conv_over_s2d(virtual, kernel.astype(self.compute_dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (int(self.features),)
+            )
+            y = y + bias.astype(self.compute_dtype)
+        return y
+
+
 _ACTIVATIONS = {
     "relu": jax.nn.relu,
     "linear": lambda x: x,
@@ -377,13 +478,17 @@ class _FusedUpSplitConv(nn.Module):
             x_lowres.astype(self.compute_dtype),
             jax.lax.slice_in_dim(kernel, c_skip, c_skip + c_up, axis=2),
         )
-        y = y + jax.lax.conv_general_dilated(
-            skip.astype(self.compute_dtype),
-            jax.lax.slice_in_dim(kernel, 0, c_skip, axis=2),
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        skip_kernel = jax.lax.slice_in_dim(kernel, 0, c_skip, axis=2)
+        if isinstance(skip, _VirtualS2D):
+            y = y + conv_over_s2d(skip, skip_kernel)
+        else:
+            y = y + jax.lax.conv_general_dilated(
+                skip.astype(self.compute_dtype),
+                skip_kernel,
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (int(self.features),)
@@ -423,13 +528,17 @@ class _SplitConv(nn.Module):
         off = 0
         for p in parts:
             c = int(p.shape[-1])
-            y = jax.lax.conv_general_dilated(
-                p.astype(self.compute_dtype),
-                jax.lax.slice_in_dim(kernel, off, off + c, axis=2),
-                window_strides=(1, 1),
-                padding="SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            part_kernel = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            if isinstance(p, _VirtualS2D):
+                y = conv_over_s2d(p, part_kernel)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    p.astype(self.compute_dtype),
+                    part_kernel,
+                    window_strides=(1, 1),
+                    padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             out = y if out is None else out + y
             off += c
         if self.use_bias:
@@ -454,11 +563,15 @@ class EncoderDecoderNet(nn.Module):
     decoder_blocks: tuple = ()
     stacks: int = 1
     compute_dtype: Any = jnp.float32
+    fold_s2d_stem: Optional[bool] = None  # None -> module default FOLD_S2D_STEM
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.compute_dtype)
         current_stride = 1
+        fold_s2d = (
+            FOLD_S2D_STEM if self.fold_s2d_stem is None else self.fold_s2d_stem
+        )
 
         def conv(x, filters, kernel_size, use_bias, name):
             return nn.Conv(
@@ -484,21 +597,38 @@ class EncoderDecoderNet(nn.Module):
             if kind == "simple_conv":
                 (_, pool, pool_before, pstride, num_convs, filters, ksize,
                  use_bias, batch_norm, activation) = blk
+                if isinstance(x, _VirtualS2D) and (
+                    (pool and pool_before) or ksize % 2 != 1 or num_convs < 1
+                ):
+                    x = x.materialize()
                 if pool and pool_before:
                     x = max_pool_same(x, pstride)
                 for i in range(num_convs):
-                    x = conv(x, filters, ksize, use_bias, f"{prefix}_conv{i}")
+                    if i == 0 and isinstance(x, _VirtualS2D):
+                        x = _S2DFoldedConv(
+                            features=int(filters),
+                            kernel_size=ksize,
+                            use_bias=use_bias,
+                            compute_dtype=self.compute_dtype,
+                            name=f"{prefix}_conv{i}",
+                        )(x)
+                    else:
+                        x = conv(x, filters, ksize, use_bias, f"{prefix}_conv{i}")
                     if batch_norm:
                         x = bn(x, f"{prefix}_bn{i}")
                     x = apply_activation(x, activation)
                 if pool and not pool_before:
                     x = max_pool_same(x, pstride)
                 return x
+            if isinstance(x, _VirtualS2D):
+                x = x.materialize()
             if kind == "pooling":
                 _, pool, pstride = blk
                 return max_pool_same(x, pstride) if pool else x
             if kind == "s2d":
                 _, _, factor = blk
+                if fold_s2d and factor > 1:
+                    return _VirtualS2D(x, factor)
                 return space_to_depth(x, factor)
             if kind == "hg_stem":
                 _, pool, pstride, filters, output_filters = blk
@@ -532,6 +662,13 @@ class EncoderDecoderNet(nn.Module):
                 (_, up_stride, t_conv, t_filters, t_ksize, t_bias, t_bn, t_act,
                  interp, skip_conn, skip_add, n_refine, r_first, r_filters,
                  r_ksize, r_bias, r_bn, r_act) = blk
+                # A virtual s2d skip can only be consumed folded (by the
+                # split-conv paths below); materialize it for any other path.
+                if isinstance(skip, _VirtualS2D) and not (
+                    skip_conn and not skip_add and n_refine > 0
+                    and r_ksize % 2 == 1
+                ):
+                    skip = skip.materialize()
                 # Fused path: bilinear 2x upsample + skip-concat + first
                 # refine conv collapse into one low-res subpixel conv. Only
                 # worth it on large maps: measured on TPU, >=64^2 pre-upsample
@@ -614,6 +751,8 @@ class EncoderDecoderNet(nn.Module):
                 return x
             if kind == "hg_up":
                 _, up_stride, filters, interp = blk
+                if isinstance(skip, _VirtualS2D):
+                    skip = skip.materialize()
                 xm = conv(x, filters, 3, True, f"{prefix}_conv")
                 xm = apply_activation(xm, "relu")
                 xm = bn(xm, f"{prefix}_conv_bn")

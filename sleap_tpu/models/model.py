@@ -50,6 +50,7 @@ class PoseNet(nn.Module):
     head_specs: tuple = ()
     compute_dtype: Any = jnp.float32
     channels_first_heads: tuple = ()
+    fold_s2d_stem: Any = None  # None -> encoder_decoder.FOLD_S2D_STEM
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -59,6 +60,7 @@ class PoseNet(nn.Module):
             decoder_blocks=self.decoder_blocks,
             stacks=self.stacks,
             compute_dtype=self.compute_dtype,
+            fold_s2d_stem=self.fold_s2d_stem,
             name="backbone",
         )
         outputs, intermediates = backbone(x, train=train)
