@@ -286,19 +286,27 @@ def bench_single_instance():
     }
 
 
-def bench_tracking_e2e(n_frames=1000):
-    """End-to-end flow tracking: ONE jitted device scan computes bottom-up
-    inference (through instance assembly) AND batched LK flow shifts for all
-    consecutive frame pairs; the host then runs the REAL product tracker —
-    ``Tracker.track`` with ``PrecomputedFlowCandidateMaker``, FrameMatches,
-    Hungarian matching, Track bookkeeping — frame by frame over the
-    returned arrays. This is the TPU-native split of the reference
-    FlowTracker (flow in device batches, stateful identity logic on host)."""
+def bench_tracking_e2e(n_frames=1024, n_segments=8):
+    """End-to-end flow tracking, pipelined device/host.
+
+    The device computes bottom-up inference (through instance assembly) AND
+    batched LK flow shifts in ``n_segments`` jitted segment calls, all
+    dispatched asynchronously up front; the host runs the REAL product
+    tracker — ``Tracker.track`` with ``PrecomputedFlowCandidateMaker``,
+    FrameMatches, Hungarian matching, Track bookkeeping — over each
+    segment's arrays as soon as they land, WHILE the device computes the
+    next segment. Host tracking time therefore hides under device time
+    (and vice versa): e2e ~ max(device, host) + one segment of latency,
+    instead of their sum. This is the TPU-native split of the reference
+    FlowTracker (flow in device batches, stateful identity logic on host).
+    """
     from sleap_tpu.ops.optical_flow import lk_flow
 
     CHUNK = 32  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
     # Sweep: 16 -> 862 FPS, 32 -> 896.
+    seg_frames = n_frames // n_segments
+    assert seg_frames % CHUNK == 0, "segment size must be a CHUNK multiple"
     predictor = build_bottomup_predictor(batch=CHUNK)
     infer = predictor._build_infer_fn().__wrapped__
     K_INST, SCALE = 3, 0.25
@@ -307,12 +315,13 @@ def bench_tracking_e2e(n_frames=1000):
     def node_positions(t):
         # 3 animals circling; 13 nodes in a small blob around each center.
         phases = jnp.arange(K_INST) * (2 * jnp.pi / K_INST)
-        cx = 512 + 300 * jnp.cos(0.02 * t + phases)
-        cy = 512 + 300 * jnp.sin(0.02 * t + phases)
+        cx = IMG // 2 + (0.293 * IMG) * jnp.cos(0.02 * t + phases)
+        cy = IMG // 2 + (0.293 * IMG) * jnp.sin(0.02 * t + phases)
+        r = 40.0 * IMG / 1024.0  # node spread, scaled with the frame
         offs = jnp.stack(
             [
-                40 * jnp.cos(jnp.arange(N_NODES) * 0.48),
-                40 * jnp.sin(jnp.arange(N_NODES) * 0.48),
+                r * jnp.cos(jnp.arange(N_NODES) * 0.48),
+                r * jnp.sin(jnp.arange(N_NODES) * 0.48),
             ],
             axis=-1,
         )  # (N, 2)
@@ -329,9 +338,12 @@ def bench_tracking_e2e(n_frames=1000):
         return (img * 200.0).astype(jnp.uint8)[..., None]
 
     @jax.jit
-    def device_scan(_):
-        def body(c, carry):
+    def device_segment(c0):
+        """Peaks + flow shifts for ``seg_frames`` frames from chunk ``c0``."""
+
+        def body(i, carry):
             peaks_out, shifts_out = carry
+            c = c0 + i
             ts = (c * CHUNK + jnp.arange(CHUNK)).astype(jnp.float32)
             frames = jax.vmap(render)(ts)  # (CHUNK, IMG, IMG, 1)
             out = infer(frames)
@@ -360,28 +372,21 @@ def bench_tracking_e2e(n_frames=1000):
             peaks_out = lax.dynamic_update_slice(
                 peaks_out,
                 inst[:, :K_INST].astype(jnp.float32),
-                (c * CHUNK, 0, 0, 0),
+                (i * CHUNK, 0, 0, 0),
             )
             shifts_out = lax.dynamic_update_slice(
-                shifts_out, shifted / SCALE, (c * CHUNK, 0, 0)
+                shifts_out, shifted / SCALE, (i * CHUNK, 0, 0)
             )
             return (peaks_out, shifts_out)
 
-        peaks0 = jnp.zeros((n_frames, K_INST, N_NODES, 2), jnp.float32)
-        shifts0 = jnp.zeros((n_frames, K_INST * N_NODES, 2), jnp.float32)
-        peaks, shifts = lax.fori_loop(
-            0, n_frames // CHUNK, body, (peaks0, shifts0)
-        )
-        return peaks, shifts
+        peaks0 = jnp.zeros((seg_frames, K_INST, N_NODES, 2), jnp.float32)
+        shifts0 = jnp.zeros((seg_frames, K_INST * N_NODES, 2), jnp.float32)
+        return lax.fori_loop(0, seg_frames // CHUNK, body, (peaks0, shifts0))
 
-    # Compile + warmup, then timed device pass.
-    p, s = device_scan(0)
+    # Compile + warmup one segment (ints hash as dynamic 0-d args, so every
+    # segment index reuses this one executable).
+    p, s = device_segment(0)
     p.block_until_ready()
-    t0 = time.perf_counter()
-    p, s = device_scan(1)
-    peaks = np.asarray(p)  # transfers force completion
-    shifts = np.asarray(s)
-    t_device = time.perf_counter() - t0
 
     # Host: the PRODUCT tracker over the returned arrays. Candidates come
     # from the device-precomputed flow shifts; everything else (queue,
@@ -401,14 +406,16 @@ def bench_tracking_e2e(n_frames=1000):
         [(i, i + 1) for i in range(N_NODES - 1)],
         name="bench",
     )
-    shift_table = shifts.reshape(n_frames, K_INST, N_NODES, 2)
+    # The current segment's shift rows (frame t is always in the segment
+    # being tracked; only its own shifts are ever looked up).
+    seg_state = {"shifts": None, "t0": 0}
 
     def shift_fn(ref_t, t, ref_instances):
         # shifts[t] rows are ref-frame animals displaced onto frame t; pair
         # each ref instance to its row by nearest mean point distance.
         if t - ref_t != 1 or t >= n_frames:
             return []
-        rows = shift_table[t]  # (K_INST, N, 2)
+        rows = seg_state["shifts"][t - seg_state["t0"]]  # (K_INST, N, 2)
         pts = np.stack([inst.numpy() for inst in ref_instances])  # (R, N, 2)
         d = np.nanmean(
             np.linalg.norm(rows[None] - pts[:, None], axis=-1), axis=-1
@@ -433,25 +440,36 @@ def bench_tracking_e2e(n_frames=1000):
         matching_function=hungarian_matching,
         candidate_maker=PrecomputedFlowCandidateMaker(shift_fn=shift_fn),
     )
+    chunks_per_seg = seg_frames // CHUNK
+    confidences = np.full(N_NODES, 0.9, np.float32)
     t0 = time.perf_counter()
+    # Dispatch EVERY segment up front: jit dispatch is async, so the device
+    # works through the queue while the host tracks landed segments.
+    handles = [device_segment(k * chunks_per_seg) for k in range(n_segments)]
     n_tracked = 0
-    for t in range(n_frames):
-        insts = [
-            PredictedInstance.from_arrays(
-                points=peaks[t, k],
-                point_confidences=np.full(N_NODES, 0.9, np.float32),
-                instance_score=0.9,
-                skeleton=skeleton,
-            )
-            for k in range(K_INST)
-            if not np.all(np.isnan(peaks[t, k]))
-        ]
-        tracked = tracker.track(untracked_instances=insts, t=t)
-        n_tracked += sum(1 for i in tracked if i.track is not None)
-    t_host = time.perf_counter() - t0
+    for k, (p, s) in enumerate(handles):
+        peaks = np.asarray(p)  # blocks until THIS segment lands; later
+        shifts = np.asarray(s)  # segments keep computing asynchronously
+        seg_state["shifts"] = shifts.reshape(seg_frames, K_INST, N_NODES, 2)
+        seg_state["t0"] = k * seg_frames
+        for lt in range(seg_frames):
+            t = k * seg_frames + lt
+            insts = [
+                PredictedInstance.from_arrays(
+                    points=peaks[lt, j],
+                    point_confidences=confidences,
+                    instance_score=0.9,
+                    skeleton=skeleton,
+                )
+                for j in range(K_INST)
+                if not np.all(np.isnan(peaks[lt, j]))
+            ]
+            tracked = tracker.track(untracked_instances=insts, t=t)
+            n_tracked += sum(1 for i in tracked if i.track is not None)
+    elapsed = time.perf_counter() - t0
     assert n_tracked > 0
 
-    fps = n_frames / (t_device + t_host)
+    fps = n_frames / elapsed
     return {
         "metric": "tracking_e2e_fps_1024",
         "value": round(fps, 2),
