@@ -13,7 +13,7 @@ import logging
 
 logging.basicConfig(level=logging.INFO)
 
-from sleap_tpu.version import __version__
+from sleap_tpu.version import __version__, versions
 from sleap_tpu.core.skeleton import Node, Skeleton
 from sleap_tpu.core.instance import (
     Instance,
@@ -22,7 +22,7 @@ from sleap_tpu.core.instance import (
     Track,
 )
 from sleap_tpu.core.labels import Labels, SuggestionFrame, load_file
-from sleap_tpu.io.video import Video
+from sleap_tpu.io.video import Video, load_video
 
 
 def load_model(*args, **kwargs):
@@ -49,10 +49,26 @@ def load_metrics(*args, **kwargs):
     return _load_metrics(*args, **kwargs)
 
 
+def __getattr__(name):
+    # Lazy top-level re-exports (PEP 562) so importing the package stays
+    # light; reference parity: sleap/__init__.py:20 exports TrainingJobConfig.
+    if name == "TrainingJobConfig":
+        from sleap_tpu.config import TrainingJobConfig
+
+        return TrainingJobConfig
+    raise AttributeError(f"module 'sleap_tpu' has no attribute {name!r}")
+
+
 def use_cpu_only():
     from sleap_tpu.system import use_cpu_only as _use_cpu_only
 
     _use_cpu_only()
+
+
+def disable_preallocation():
+    from sleap_tpu.system import disable_preallocation as _disable
+
+    _disable()
 
 
 def system_summary():

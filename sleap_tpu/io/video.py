@@ -806,6 +806,39 @@ class Video:
         )
 
 
+def load_video(
+    filename: str,
+    grayscale: Optional[bool] = None,
+    dataset: Optional[str] = None,
+    channels_first: bool = False,
+    **kwargs,
+) -> Video:
+    """Open a video from disk (reference video.py:1638 ``load_video``).
+
+    Supports media files (mp4/avi/...), HDF5 datasets (including embedded
+    ``.slp`` images), numpy arrays, still images, and directories of images
+    (each image becomes one frame).
+    """
+    if os.path.isdir(filename):
+        files = sorted(
+            os.path.join(filename, f)
+            for f in os.listdir(filename)
+            if f.lower().endswith(SingleImageVideo.EXTS)
+        )
+        if not files:
+            raise ValueError(f"No images found in directory: {filename}")
+        return Video(
+            backend=SingleImageVideo(filenames=files, grayscale=grayscale)
+        )
+    if grayscale is not None:
+        kwargs["grayscale"] = grayscale
+    if dataset is not None:
+        kwargs["dataset"] = dataset
+    if channels_first:
+        kwargs["input_format"] = "channels_first"
+    return Video.from_filename(filename, **kwargs)
+
+
 def fixup_path(path: str, search_paths: Optional[List[str]] = None) -> str:
     """Best-effort path resolution (reference video.py:1564 ``fixup_path``)."""
     if not isinstance(path, str) or os.path.exists(path):
