@@ -44,6 +44,12 @@ def make_parser() -> argparse.ArgumentParser:
         "the gradient all-reduce rides the interconnect.",
     )
     parser.add_argument(
+        "--mixed-precision", action="store_true", dest="mixed_precision",
+        help="Run the forward/backward pass in bfloat16 on the MXU; params, "
+        "optimizer state, and the loss stay float32 (checkpoints are "
+        "dtype-identical to f32 training).",
+    )
+    parser.add_argument(
         "--spatial-sharding", type=int, default=1, dest="spatial_sharding",
         help="Also shard frame HEIGHT over this many devices (the mesh "
         "becomes (data: n/spatial, spatial)); XLA inserts conv halo "
@@ -80,6 +86,8 @@ def create_trainer_using_cli(args: Optional[List[str]] = None):
         cfg.outputs.run_name_prefix = ns.prefix
     if ns.suffix:
         cfg.outputs.run_name_suffix = ns.suffix
+    if ns.mixed_precision:
+        cfg.optimization.mixed_precision = True
     if ns.tensorboard:
         cfg.outputs.tensorboard.write_logs = True
     if ns.zmq:

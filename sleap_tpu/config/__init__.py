@@ -389,6 +389,11 @@ class OptimizationConfig:
         factory=HardKeypointMiningConfig
     )
     early_stopping: EarlyStoppingConfig = attr.ib(factory=EarlyStoppingConfig)
+    # TPU-native extension (no reference counterpart): run the forward and
+    # backward pass in bfloat16 on the MXU while keeping parameters, optimizer
+    # state, and the loss in float32. Checkpoints are dtype-identical to f32
+    # training.
+    mixed_precision: bool = False
 
 
 # --------------------------------------------------------------------------- #

@@ -436,8 +436,15 @@ class Trainer:
             raise ValueError("No trainable examples found.")
         max_stride = self.model.maximum_stride
         init_hw = max(4 * max_stride, 32)
+        compute_dtype = (
+            jnp.bfloat16
+            if self.config.optimization.mixed_precision
+            else jnp.float32
+        )
         self.module, self.variables = self.model.init(
-            jax.random.PRNGKey(0), (init_hw, init_hw, self._input_channels)
+            jax.random.PRNGKey(0),
+            (init_hw, init_hw, self._input_channels),
+            compute_dtype=compute_dtype,
         )
         if self.config.model.base_checkpoint:
             from sleap_tpu.inference.predictors import load_trained_model
@@ -573,14 +580,17 @@ class Trainer:
                 for key in keys:
                     if key not in preds:
                         continue
+                    # Under mixed precision the head outputs are bfloat16;
+                    # accumulate every loss term in float32.
+                    pred = preds[key].astype(jnp.float32)
                     if kind == "xent":
-                        term = categorical_crossentropy(target, preds[key])
+                        term = categorical_crossentropy(target, pred)
                     else:
-                        term = mse_loss(target, preds[key])
+                        term = mse_loss(target, pred)
                         if ohkm_cfg.online_mining and kind == "mse":
                             term = term + compute_ohkm_loss(
                                 target,
-                                preds[key],
+                                pred,
                                 hard_to_easy_ratio=ohkm_cfg.hard_to_easy_ratio,
                                 min_hard_keypoints=ohkm_cfg.min_hard_keypoints,
                                 max_hard_keypoints=ohkm_cfg.max_hard_keypoints,

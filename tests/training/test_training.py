@@ -303,6 +303,28 @@ def test_train_unet_space_to_depth(tiny_labels, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_mixed_precision(tiny_labels, tmp_path):
+    """bf16 compute path: trains end-to-end, params/checkpoints stay f32."""
+    import jax
+    import jax.numpy as jnp
+
+    c = _base_cfg(tmp_path, "mixed")
+    c.model.heads.centered_instance = cfg.CenteredInstanceConfmapsHeadConfig(
+        output_stride=2, sigma=3.0
+    )
+    c.data.instance_cropping.crop_size = 32
+    c.optimization.mixed_precision = True
+    trainer = _run(c, tiny_labels)
+    assert trainer.module.compute_dtype == jnp.bfloat16
+    leaves = jax.tree_util.tree_leaves(trainer.variables["params"])
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+    # Head outputs come back bf16; the jitted loss must still be f32-finite.
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    out = trainer.module.apply(trainer.variables, x, train=False)
+    assert all(v.dtype == jnp.bfloat16 for v in out.values())
+
+
+@pytest.mark.slow
 def test_train_evaluate_then_predict_own_checkpoint(tiny_labels, tmp_path):
     """The reference's fixture-checkpoint cycle on OUR artifacts: train a
     tiny bottom-up model, let post-training evaluation write labels_pr +
