@@ -710,9 +710,16 @@ class Trainer:
                     params, batch_stats, opt_state,
                     {k: jnp.asarray(v) for k, v in batch.items()}, step_rng,
                 )
-                train_losses.append(float(loss))
+                # Defer the device->host loss fetch to epoch end so jit
+                # dispatch pipelines the whole epoch (a per-step float() sync
+                # costs ~1 ms+ on remote-device runtimes). ZMQ progress
+                # reporting needs the value per batch, so it keeps the eager
+                # fetch.
                 if self._zmq_reporter:
+                    train_losses.append(float(loss))
                     self._zmq_reporter.batch_end(epoch, b, train_losses[-1])
+                else:
+                    train_losses.append(loss)
                 if self._zmq_controller:
                     if self._zmq_controller.poll() == "stop":
                         stop_requested = True
@@ -732,14 +739,14 @@ class Trainer:
                 )
                 jrng, step_rng = jax.random.split(jrng)
                 val_losses.append(
-                    float(
-                        val_step(
-                            params, batch_stats,
-                            {k: jnp.asarray(v) for k, v in batch.items()}, step_rng,
-                        )
+                    val_step(
+                        params, batch_stats,
+                        {k: jnp.asarray(v) for k, v in batch.items()}, step_rng,
                     )
                 )
 
+            train_losses = [float(l) for l in train_losses]
+            val_losses = [float(l) for l in val_losses]
             train_loss = float(np.mean(train_losses)) if train_losses else np.nan
             val_loss = float(np.mean(val_losses)) if val_losses else train_loss
             lr = lr_sched.update(val_loss)
