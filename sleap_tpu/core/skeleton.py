@@ -461,6 +461,22 @@ class Skeleton:
     def from_json(cls, json_str: str, node_list: Optional[List[Node]] = None) -> "Skeleton":
         return cls.from_dict(json.loads(json_str), node_list)
 
+    def save_json(self, filename: str, node_to_idx: Optional[Dict[Node, int]] = None) -> None:
+        """Write the skeleton to a JSON file (reference skeleton.py:1526)."""
+        with open(filename, "w") as f:
+            f.write(self.to_json(node_to_idx))
+
+    @classmethod
+    def load_json(
+        cls, filename: str, idx_to_node: Optional[Dict[int, Node]] = None
+    ) -> "Skeleton":
+        """Load a skeleton from a JSON file (reference skeleton.py:1586)."""
+        node_list = None
+        if idx_to_node:
+            node_list = [idx_to_node[i] for i in range(len(idx_to_node))]
+        with open(filename, "r") as f:
+            return cls.from_json(f.read(), node_list)
+
     @classmethod
     def from_names_and_edge_inds(
         cls,

@@ -190,3 +190,29 @@ def test_templates_match_reference_files():
         ours = load_template(os.path.splitext(fn)[0])
         assert ours.node_names == ref_sk.node_names, fn
         assert ours.edge_inds == ref_sk.edge_inds, fn
+
+
+def test_load_json_reference_fixture_skeletons(tmp_path):
+    """Both fixture encodings (jsonpickle id-refs and pystate dicts) load,
+    and save_json/load_json round-trips (reference skeleton.py:1526,1586)."""
+    import os
+
+    from sleap_tpu.core.skeleton import Skeleton
+
+    base = "/root/reference/tests/data/skeleton"
+    if not os.path.isdir(base):
+        pytest.skip("reference skeleton fixtures unavailable")
+    sk = Skeleton.load_json(os.path.join(base, "fly_skeleton_legs.json"))
+    assert sk.n_nodes == 24 and sk.n_edges == 23
+    assert sk.node_names[:3] == ["head", "neck", "thorax"]
+
+    sk_dict = Skeleton.load_json(
+        os.path.join(base, "fly_skeleton_legs_pystate_dict.json")
+    )
+    assert sk_dict.node_names == sk.node_names
+    assert sk_dict.edge_inds == sk.edge_inds
+
+    out = str(tmp_path / "fly.json")
+    sk.save_json(out)
+    sk2 = Skeleton.load_json(out)
+    assert sk2.node_names == sk.node_names and sk2.edge_inds == sk.edge_inds

@@ -231,3 +231,26 @@ def test_multi_video_multi_skeleton_roundtrip(tmp_path):
     assert lf2.instances[0].skeleton.node_names == ["x", "y", "z"]
     # Second video's embedded shape/content survives.
     assert loaded.videos[1].get_frame(0).max() == 7
+
+
+def test_read_single_image_video_projects():
+    """SIV-format .slp projects (SingleImageVideo backends) load with intact
+    instances (reference fixture dirs siv_format_v1/v2)."""
+    import os
+
+    from sleap_tpu.core.labels import load_file
+    from sleap_tpu.io.video import SingleImageVideo
+
+    for rel in (
+        "siv_format_v1/small_robot_siv.slp",
+        "siv_format_v2/small_robot_siv_caching.slp",
+    ):
+        p = os.path.join("/root/reference/tests/data", rel)
+        if not os.path.exists(p):
+            pytest.skip("reference SIV fixtures unavailable")
+        labels = load_file(p)
+        assert len(labels) == 3
+        assert isinstance(labels.videos[0].backend, SingleImageVideo)
+        for lf in labels.labeled_frames:
+            assert len(lf.instances) >= 1
+            assert np.isfinite(lf.instances[0].numpy()).any()
