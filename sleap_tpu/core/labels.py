@@ -412,6 +412,48 @@ class Labels(MutableSequence):
                         fill(fi, tracks.index(inst.track), inst)
         return out
 
+    def describe(self) -> None:
+        """Print basic statistics about the dataset (reference dataset.py:1135)."""
+        print(f"Skeleton: {self.skeleton}")
+        print(f"Videos: {[v.filename for v in self.videos]}")
+        n_user = n_pred = n_user_inst = n_pred_inst = 0
+        for lf in self.labeled_frames:
+            user = lf.user_instances
+            pred = lf.predicted_instances
+            if user:
+                n_user += 1
+                n_user_inst += len(user)
+            if pred:
+                n_pred += 1
+                n_pred_inst += len(pred)
+        print(f"Frames (user/predicted): {n_user:,}/{n_pred:,}")
+        print(f"Instances (user/predicted): {n_user_inst:,}/{n_pred_inst:,}")
+        print("Tracks:", self.tracks)
+        print(f"Suggestions: {len(self.suggestions):,}")
+        print("Provenance:", self.provenance)
+
+    # ------------------------------------------------------------------ #
+    # Analysis exports (reference dataset.py:2035-2106)
+    # ------------------------------------------------------------------ #
+    def export(self, filename: str) -> None:
+        """Export to the analysis HDF5 format (node/track names, tracks
+        matrix, occupancy)."""
+        from sleap_tpu.info.write_tracking_h5 import export_analysis_file
+
+        export_analysis_file(self, filename, all_frames=True)
+
+    def export_csv(self, filename: str) -> None:
+        """Export to the analysis CSV format (one row per frame x track)."""
+        from sleap_tpu.info.write_tracking_h5 import export_analysis_file
+
+        export_analysis_file(self, filename, all_frames=True, csv=True)
+
+    def export_nwb(self, filename: str, **kwargs) -> None:
+        """Export predicted instances to an NWB (ndx-pose) file."""
+        from sleap_tpu.io.formats.ndx_pose import write_labels
+
+        write_labels(filename, self, **kwargs)
+
     # ------------------------------------------------------------------ #
     # I/O
     # ------------------------------------------------------------------ #

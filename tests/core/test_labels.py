@@ -290,3 +290,38 @@ def test_roundtrip_through_slp(skeleton, video, tmp_path):
         loaded[0].instances[0].numpy(), labels[0].instances[0].numpy(), atol=1e-6
     )
     assert [t.name for t in loaded.tracks] == [t.name for t in labels.tracks]
+
+
+def test_describe_and_analysis_exports(tmp_path):
+    """Labels.describe/export/export_csv conveniences (reference
+    dataset.py:1135,2035,2058) on the reference predictions fixture."""
+    import contextlib
+    import io
+    import os
+
+    import h5py
+    import pytest
+
+    from sleap_tpu.core.labels import load_file
+
+    p = "/root/reference/tests/data/tracks/clip.predictions.slp"
+    if not os.path.exists(p):
+        pytest.skip("reference fixture unavailable")
+    labels = load_file(p)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        labels.describe()
+    text = buf.getvalue()
+    assert "Frames (user/predicted)" in text and "Tracks:" in text
+
+    h5p = str(tmp_path / "a.h5")
+    labels.export(h5p)
+    with h5py.File(h5p) as f:
+        assert f["tracks"].shape[-1] == 1500  # transposed (reference layout)
+        assert len(f["track_names"]) == 2
+
+    csvp = str(tmp_path / "a.csv")
+    labels.export_csv(csvp)
+    header = open(csvp).readline()
+    assert header.startswith("frame_idx,track")
