@@ -608,6 +608,12 @@ class Video:
         return cls(backend=NumpyVideo(filename=np.asarray(data)))
 
     @classmethod
+    def from_media(cls, filename: str, **kwargs) -> "Video":
+        """Media-file (mp4/avi) video (reference video.py:1209)."""
+        kwargs = {k: v for k, v in kwargs.items() if k in ("grayscale", "bgr")}
+        return cls(backend=MediaVideo(filename=fixup_path(filename), **kwargs))
+
+    @classmethod
     def from_image_filenames(cls, filenames: List[str], **kwargs) -> "Video":
         return cls(backend=SingleImageVideo(filenames=list(filenames), **kwargs))
 
