@@ -11,6 +11,7 @@ NaN coordinates mean "missing point" (reference convention, instance.py:79).
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import attr
@@ -219,16 +220,22 @@ class Instance:
 
     @property
     def bounding_box(self) -> np.ndarray:
-        """[y1, x1, y2, x2] over visible points (reference instance.py:878)."""
+        """[y1, x1, y2, x2] over visible points (reference instance.py:878).
+
+        All-NaN (no visible points) yields a NaN box without the numpy
+        All-NaN-slice RuntimeWarning.
+        """
         pts = self.numpy()
-        return np.array(
-            [
-                np.nanmin(pts[:, 1]),
-                np.nanmin(pts[:, 0]),
-                np.nanmax(pts[:, 1]),
-                np.nanmax(pts[:, 0]),
-            ]
-        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            return np.array(
+                [
+                    np.nanmin(pts[:, 1]),
+                    np.nanmin(pts[:, 0]),
+                    np.nanmax(pts[:, 1]),
+                    np.nanmax(pts[:, 0]),
+                ]
+            )
 
     @property
     def midpoint(self) -> np.ndarray:
