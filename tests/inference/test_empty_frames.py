@@ -100,3 +100,44 @@ def test_topdown_empty_frames():
         batch_size=2, peak_threshold=100.0,
     )
     _assert_empty(pred.predict(FRAMES, make_labels=True))
+
+
+def test_multiclass_bottomup_empty_frames():
+    from sleap_tpu.config import ClassMapsHeadConfig, MultiClassBottomUpConfig
+    from sleap_tpu.inference.multiclass import BottomUpMultiClassPredictor
+
+    cfg = _unet(
+        multi_class_bottomup=MultiClassBottomUpConfig(
+            confmaps=MultiInstanceConfmapsHeadConfig(
+                part_names=["a", "b"], output_stride=4
+            ),
+            class_maps=ClassMapsHeadConfig(classes=["x", "y"], output_stride=4),
+        )
+    )
+    pred = BottomUpMultiClassPredictor(
+        model=_make(cfg, 128), batch_size=2, peak_threshold=100.0
+    )
+    _assert_empty(pred.predict(FRAMES, make_labels=True))
+
+
+def test_multiclass_topdown_empty_frames():
+    from sleap_tpu.config import ClassVectorsHeadConfig, MultiClassTopDownConfig
+    from sleap_tpu.inference.multiclass import TopDownMultiClassPredictor
+
+    td = _unet(
+        multi_class_topdown=MultiClassTopDownConfig(
+            confmaps=CenteredInstanceConfmapsHeadConfig(
+                part_names=["a", "b"], output_stride=4
+            ),
+            class_vectors=ClassVectorsHeadConfig(
+                classes=["x", "y"], num_fc_layers=1, num_fc_units=8,
+                output_stride=8,
+            ),
+        )
+    )
+    cen = _unet(centroid=CentroidsHeadConfig(output_stride=4))
+    pred = TopDownMultiClassPredictor(
+        centroid_model=_make(cen, 128), confmap_model=_make(td, 64),
+        batch_size=2, peak_threshold=100.0,
+    )
+    _assert_empty(pred.predict(FRAMES, make_labels=True))
