@@ -170,6 +170,11 @@ class UNetConfig:
     # with factor^2 x channels -> far better MXU utilization). Counts
     # toward max_stride. 1 = off.
     space_to_depth: int = 1
+    # TPU-native extension: never materialize the s2d map — apply each conv
+    # consuming it as an equivalent (3f)x(3f) stride-f conv on the raw image
+    # (identical math and parameter tree; kills two HBM layout copies).
+    # None defers to the library default.
+    fold_s2d_stem: Optional[bool] = None
 
 
 @attr.s(auto_attribs=True)

@@ -376,6 +376,7 @@ class Model:
             backbone_output_stride=self.backbone.output_stride,
             head_specs=head_specs,
             compute_dtype=compute_dtype,
+            fold_s2d_stem=getattr(self.backbone, "fold_s2d_stem", None),
         )
 
     def init(self, rng, input_shape: Tuple[int, int, int], compute_dtype=jnp.float32):

@@ -47,6 +47,7 @@ class UNet:
     block_contraction: bool = False
     stacks: int = 1
     space_to_depth: int = 1
+    fold_s2d_stem: Optional[bool] = None  # None -> library default
 
     @property
     def stem_stride(self) -> Optional[int]:
@@ -186,4 +187,5 @@ class UNet:
             up_interpolate=config.up_interpolate,
             stacks=config.stacks,
             space_to_depth=s2d,
+            fold_s2d_stem=getattr(config, "fold_s2d_stem", None),
         )

@@ -161,3 +161,36 @@ def test_fold_stem_gradients_match():
         g0,
         g1,
     )
+
+
+def test_fold_flag_via_unet_config():
+    """UNetConfig.fold_s2d_stem threads through Model.from_config to the
+    module; outputs match the unfolded path."""
+    cfg = ModelConfig()
+    cfg.backbone = BackboneConfig(
+        unet=UNetConfig(
+            max_stride=16, output_stride=4, filters=8, filters_rate=2.0,
+            up_interpolate=True, space_to_depth=4, fold_s2d_stem=True,
+        )
+    )
+    cfg.heads = HeadsConfig(
+        multi_instance=MultiInstanceConfig(
+            confmaps=MultiInstanceConfmapsHeadConfig(
+                part_names=["a", "b"], output_stride=4, sigma=2.5
+            ),
+            pafs=PartAffinityFieldsHeadConfig(
+                edges=[("a", "b")], output_stride=8, sigma=5.0
+            ),
+        )
+    )
+    module, variables = Model.from_config(cfg).init(
+        jax.random.PRNGKey(0), (128, 128, 1)
+    )
+    assert module.fold_s2d_stem is True
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 1))
+    base = module.clone(fold_s2d_stem=False).apply(variables, x, train=False)
+    fold = module.apply(variables, x, train=False)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(fold[k]), np.asarray(base[k]), atol=2e-4
+        )
