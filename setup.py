@@ -9,6 +9,9 @@ setup(
         "TPU-native multi-animal pose estimation and tracking (JAX/XLA/Pallas)"
     ),
     packages=find_packages(include=["sleap_tpu", "sleap_tpu.*"]),
+    package_data={
+        "sleap_tpu": ["skeletons/*.json", "training_profiles/*.json"],
+    },
     python_requires=">=3.10",
     install_requires=[
         "jax",
