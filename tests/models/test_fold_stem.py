@@ -194,3 +194,23 @@ def test_fold_flag_via_unet_config():
         np.testing.assert_allclose(
             np.asarray(fold[k]), np.asarray(base[k]), atol=2e-4
         )
+
+
+def test_fold_stem_bf16_parity():
+    """The production inference config runs bf16; fold must match unfolded
+    bf16 within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    model = _bottomup_model()
+    module, variables = model.init(jax.random.PRNGKey(0), (256, 256, 1))
+    bf16 = module.clone(compute_dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 256, 256, 1))
+    base = bf16.clone(fold_s2d_stem=False).apply(variables, x, train=False)
+    fold = bf16.clone(fold_s2d_stem=True).apply(variables, x, train=False)
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(fold[k], np.float32),
+            np.asarray(base[k], np.float32),
+            atol=3e-2,
+            err_msg=f"output {k} diverges under bf16 stem fold",
+        )
