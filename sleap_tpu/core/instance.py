@@ -262,6 +262,41 @@ class Instance:
         """Build from an (n_nodes, 2) array; NaN rows are missing."""
         return cls(skeleton=skeleton, points=np.asarray(points), track=track)
 
+    @classmethod
+    def from_pointsarray(
+        cls,
+        points: np.ndarray,
+        skeleton: Skeleton,
+        track: Optional[Track] = None,
+    ) -> "Instance":
+        """Alias of :meth:`from_numpy` (reference instance.py:924)."""
+        return cls.from_numpy(points, skeleton=skeleton, track=track)
+
+    def fill_missing(
+        self, max_x: Optional[float] = None, max_y: Optional[float] = None
+    ) -> None:
+        """Add random in-bbox points for missing nodes (reference
+        instance.py:789; GUI convenience for newly added skeleton nodes)."""
+        y1, x1, y2, x2 = self.bounding_box
+        y1, x1 = np.nanmax([y1, 0.0]), np.nanmax([x1, 0.0])
+        if max_x is not None:
+            x2 = np.nanmin([x2, max_x])
+        if max_y is not None:
+            y2 = np.nanmin([y2, max_y])
+        w, h = x2 - x1, y2 - y1
+        if np.isnan(w) or np.isnan(h):
+            x1 = y1 = 0.0
+            w = max_x if max_x is not None else 1.0
+            h = max_y if max_y is not None else 1.0
+        missing = ~self.points["visible"]
+        n = int(np.count_nonzero(missing))
+        if n == 0:
+            return
+        xy = np.random.rand(n, 2) * np.array([w, h]) + np.array([x1, y1])
+        self.points["x"][missing] = np.maximum(xy[:, 0], 0.0)
+        self.points["y"][missing] = np.maximum(xy[:, 1], 0.0)
+        self.points["visible"][missing] = True
+
     def matches(self, other: "Instance") -> bool:
         if type(self) is not type(other):
             return False
@@ -343,6 +378,7 @@ class PredictedInstance(Instance):
         )
 
     from_numpy = from_arrays  # alias matching reference instance.py:1164
+    from_pointsarray = from_arrays  # alias matching reference instance.py:1127
 
     @classmethod
     def from_instance(cls, instance: Instance, score: float) -> "PredictedInstance":
@@ -437,10 +473,28 @@ class LabeledFrame:
         return [i for i in self._instances if i.track is not None]
 
     @property
+    def n_user_instances(self) -> int:
+        return len(self.user_instances)
+
+    @property
+    def n_predicted_instances(self) -> int:
+        return len(self.predicted_instances)
+
+    @property
+    def n_tracked_instances(self) -> int:
+        return len(self.tracked_instances)
+
+    @property
     def unused_predictions(self) -> List["PredictedInstance"]:
         """Predictions not linked from any user instance in this frame."""
         used = {id(i.from_predicted) for i in self.user_instances if i.from_predicted}
         return [p for p in self.predicted_instances if id(p) not in used]
+
+    @property
+    def instances_to_show(self) -> List[Instance]:
+        """User instances plus predictions without a user correction — what a
+        GUI would draw (reference instance.py:1678)."""
+        return self.user_instances + self.unused_predictions
 
     @property
     def image(self) -> np.ndarray:

@@ -214,3 +214,31 @@ def test_training_instances_prefers_user_over_linked_prediction(skeleton):
     # Training instances: user instances (predictions only when no user copy).
     assert user in lf.training_instances
     assert pred not in lf.training_instances
+
+
+def test_from_pointsarray_aliases_and_fill_missing():
+    """Reference-parity conveniences: from_pointsarray, fill_missing,
+    LabeledFrame instance counts and instances_to_show."""
+    skel = Skeleton.from_names_and_edge_inds(["a", "b", "c"], [(0, 1), (1, 2)])
+    pts = np.array([[1.0, 2.0], [np.nan, np.nan], [5.0, 6.0]])
+    inst = Instance.from_pointsarray(pts, skeleton=skel)
+    assert inst.n_visible_points == 2
+    inst.fill_missing(max_x=10, max_y=10)
+    assert inst.n_visible_points == 3
+    filled = inst.numpy()
+    assert np.all(np.isfinite(filled))
+    assert filled[:, 0].max() <= 10 and filled[:, 1].max() <= 10
+
+    pred = PredictedInstance.from_pointsarray(
+        pts, np.array([0.9, 0.0, 0.8]), 0.7, skel
+    )
+    assert pred.score == 0.7
+
+    user = Instance.from_numpy(pts, skeleton=skel)
+    user.from_predicted = pred
+    lf = LabeledFrame(video=None, frame_idx=0, instances=[user, pred])
+    assert lf.n_user_instances == 1
+    assert lf.n_predicted_instances == 1
+    assert lf.n_tracked_instances == 0
+    # The prediction is linked to a user correction -> not shown.
+    assert lf.instances_to_show == [user]
