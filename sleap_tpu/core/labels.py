@@ -268,6 +268,248 @@ class Labels(MutableSequence):
         if track not in self.tracks:
             self.tracks.append(track)
 
+    # ------------------------------------------------------------------ #
+    # Instance / track editing (reference dataset.py:1156-1380)
+    # ------------------------------------------------------------------ #
+    def instances(self, video: Optional[Video] = None, skeleton=None):
+        """Iterate over instances, optionally filtered by video/skeleton."""
+        for lf in self.labeled_frames:
+            if video is None or lf.video == video:
+                for inst in lf.instances:
+                    if skeleton is None or inst.skeleton == skeleton:
+                        yield inst
+
+    def has_frame(
+        self,
+        lf: Optional[LabeledFrame] = None,
+        video: Optional[Video] = None,
+        frame_idx: Optional[int] = None,
+        use_cache: bool = True,
+    ) -> bool:
+        """True if a frame with this video + frame index exists (reference
+        dataset.py:1636; matches on identity of (video, frame_idx), not
+        instance contents)."""
+        if lf is not None:
+            video, frame_idx = lf.video, lf.frame_idx
+        if video is None or frame_idx is None:
+            raise ValueError("Either lf or both video and frame_idx required.")
+        if use_cache:
+            return int(frame_idx) in self._lf_by_video.get(id(video), {})
+        return any(
+            f.video == video and f.frame_idx == frame_idx
+            for f in self.labeled_frames
+        )
+
+    def add_instance(self, frame: LabeledFrame, instance: Instance) -> None:
+        """Add instance to frame, registering its track (reference
+        dataset.py:1325; an existing USER instance on the same track in the
+        frame clears the new instance's track)."""
+        tracks_in_frame = [
+            inst.track
+            for inst in frame.instances
+            if type(inst) is Instance and inst.track is not None
+        ]
+        if instance.track in tracks_in_frame:
+            instance.track = None
+        frame.instances.append(instance)
+        instance.frame = frame
+        if instance.track is not None and instance.track not in self.tracks:
+            self.add_track(frame.video, instance.track)
+        if frame not in self.labeled_frames:
+            self.append(frame)
+
+    def remove_instance(self, frame: LabeledFrame, instance: Instance) -> None:
+        """Remove instance from frame (reference dataset.py:1317)."""
+        frame.remove_instance(instance)
+
+    def remove_track(self, track: Track) -> None:
+        """Remove a track, clearing it from (but keeping) instances."""
+        for inst in self.instances():
+            if inst.track == track:
+                inst.track = None
+        if track in self.tracks:
+            self.tracks.remove(track)
+
+    def remove_all_tracks(self) -> None:
+        for inst in self.instances():
+            inst.track = None
+        self.tracks = []
+
+    def remove_unused_tracks(self) -> None:
+        used = {inst.track for inst in self.instances()}
+        self.tracks = [t for t in self.tracks if t in used]
+
+    def find_track_occupancy(
+        self, video: Video, track: Union[Track, int], frame_range=None
+    ) -> List[Instance]:
+        """Instances on ``track`` in ``video`` (reference dataset.py:1345).
+
+        ``track`` may be a Track or an int "pseudo-track": the index into the
+        frame's instance list, matching only untracked instances.
+        """
+        if isinstance(frame_range, tuple):
+            frame_range = range(*frame_range)
+
+        def matches(inst, lf):
+            if isinstance(track, Track):
+                return inst.track is track
+            return (
+                isinstance(track, int)
+                and lf.instances.index(inst) == track
+                and inst.track is None
+            )
+
+        return [
+            inst
+            for lf in self.find(video)
+            if frame_range is None or lf.frame_idx in frame_range
+            for inst in lf.instances
+            if matches(inst, lf)
+        ]
+
+    def track_swap(
+        self,
+        video: Video,
+        new_track: Track,
+        old_track: Optional[Union[Track, int]],
+        frame_range: tuple,
+    ) -> None:
+        """Swap instances between two tracks over a frame range (reference
+        dataset.py:1277). An int ``old_track`` is a pseudo-track (instance
+        list index); its instances move to ``new_track`` one-way."""
+        old_insts = self.find_track_occupancy(video, old_track, frame_range)
+        new_insts = self.find_track_occupancy(video, new_track, frame_range)
+        for inst in old_insts:
+            inst.track = new_track
+        if isinstance(old_track, Track):
+            for inst in new_insts:
+                inst.track = old_track
+
+    def track_set_instance(
+        self, frame: LabeledFrame, instance: Instance, new_track: Track
+    ) -> None:
+        """Assign ``new_track`` to ``instance``, swapping any existing
+        occupant of that track in the frame (reference dataset.py:1262)."""
+        self.track_swap(
+            frame.video,
+            new_track,
+            instance.track,
+            (frame.frame_idx, frame.frame_idx + 1),
+        )
+        instance.track = new_track
+        if new_track not in self.tracks:
+            self.add_track(frame.video, new_track)
+
+    def get_track_count(self, video: Video) -> int:
+        """Number of occupied tracks in ``video``."""
+        return len(self.get_track_occupancy(video))
+
+    @property
+    def user_labeled_frame_inds(self) -> List[int]:
+        return [
+            i
+            for i, lf in enumerate(self.labeled_frames)
+            if lf.has_user_instances
+        ]
+
+    def copy(self) -> "Labels":
+        """Deep copy of frames/instances; videos shared (they hold live
+        decoder handles), like :meth:`extract`."""
+        new = self.extract(range(len(self)), copy=True)
+        new.tracks = list(self.tracks)
+        new.suggestions = list(self.suggestions)
+        return new
+
+    # ------------------------------------------------------------------ #
+    # Suggestions API (reference dataset.py:1385-1480)
+    # ------------------------------------------------------------------ #
+    def add_suggestion(self, video: Video, frame_idx: int) -> None:
+        for s in self.suggestions:
+            if s.video == video and s.frame_idx == frame_idx:
+                return
+        self.suggestions.append(SuggestionFrame(video=video, frame_idx=frame_idx))
+
+    def remove_suggestion(self, video: Video, frame_idx: int) -> None:
+        for s in self.suggestions:
+            if s.video == video and s.frame_idx == frame_idx:
+                self.suggestions.remove(s)
+                return
+
+    def clear_suggestions(self) -> None:
+        self.suggestions = []
+
+    def get_suggestions(self) -> List[SuggestionFrame]:
+        return self.suggestions
+
+    def set_suggestions(self, suggestions: List[SuggestionFrame]) -> None:
+        self.suggestions = list(suggestions)
+
+    def append_suggestions(self, suggestions: List[SuggestionFrame]) -> None:
+        self.suggestions.extend(suggestions)
+
+    def find_suggestion(self, video: Video, frame_idx: int):
+        for s in self.suggestions:
+            if s.video == video and s.frame_idx == frame_idx:
+                return s
+        return None
+
+    def get_video_suggestions(
+        self, video: Video, user_labeled: bool = True
+    ) -> List[int]:
+        """Suggested frame indices for ``video``; with ``user_labeled=False``
+        suggestions that already have user labels are omitted."""
+        out = []
+        for s in self.suggestions:
+            if s.video != video:
+                continue
+            if not user_labeled:
+                lf = self.find(video, s.frame_idx)
+                if lf and lf[0].has_user_instances:
+                    continue
+            out.append(s.frame_idx)
+        return out
+
+    @property
+    def unlabeled_suggestions(self) -> List[SuggestionFrame]:
+        """Suggestions whose frame has no user instances."""
+        out = []
+        for s in self.suggestions:
+            lf = self.find(s.video, s.frame_idx)
+            if not lf or not lf[0].has_user_instances:
+                out.append(s)
+        return out
+
+    def get_unlabeled_suggestion_inds(self) -> List[int]:
+        unlabeled = set(map(id, self.unlabeled_suggestions))
+        return [i for i, s in enumerate(self.suggestions) if id(s) in unlabeled]
+
+    def get_next_suggestion(self, video: Video, frame_idx: int, seek_direction: int = 1):
+        """Next/previous suggestion from a position (reference
+        dataset.py:1449): follows list order when currently on a suggestion,
+        otherwise seeks by frame order, wrapping across videos."""
+        if seek_direction not in (-1, 1):
+            raise ValueError("seek_direction should be -1 or 1.")
+        if video not in self.videos or not self.suggestions:
+            return None
+        match = self.find_suggestion(video, frame_idx)
+        if match is not None:
+            idx = self.suggestions.index(match)
+            return self.suggestions[(idx + seek_direction) % len(self.suggestions)]
+        vid_inds = self.get_video_suggestions(video)
+        if seek_direction == 1:
+            cand = min((i for i in vid_inds if i > frame_idx), default=None)
+        else:
+            cand = max((i for i in vid_inds if i < frame_idx), default=None)
+        if cand is not None:
+            return self.find_suggestion(video, cand)
+        # Wrap to the next video with suggestions (list order).
+        vids = [s.video for s in self.suggestions]
+        if video in vids:
+            start = vids.index(video)
+        else:
+            start = 0
+        return self.suggestions[(start + seek_direction) % len(self.suggestions)]
+
     def remove_frame(self, lf: LabeledFrame) -> None:
         self.labeled_frames.remove(lf)
         self.update_cache()

@@ -1,0 +1,137 @@
+"""Labels editing APIs: instance add/remove, track editing, suggestions.
+
+Reference analogs: dataset.py:1156 (instances), :1262-1380 (track ops),
+:1385-1480 (suggestions), :1636 (has_frame), :811 (copy).
+"""
+
+import numpy as np
+import pytest
+
+from sleap_tpu.core.instance import Instance, LabeledFrame, Track
+from sleap_tpu.core.labels import Labels
+from sleap_tpu.core.skeleton import Skeleton
+from sleap_tpu.io.video import Video
+
+
+@pytest.fixture
+def labels():
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)])
+    video = Video.from_numpy(np.zeros((8, 16, 16, 1), np.uint8))
+    tA, tB = Track(0, "A"), Track(0, "B")
+    lfs = [
+        LabeledFrame(
+            video=video, frame_idx=i,
+            instances=[
+                Instance(skeleton=skel, points=np.full((2, 2), float(i)), track=tA),
+                Instance(skeleton=skel, points=np.full((2, 2), i + 10.0), track=tB),
+            ],
+        )
+        for i in range(4)
+    ]
+    out = Labels(lfs)
+    return out, video, skel, tA, tB
+
+
+def test_has_frame_and_instances_iterator(labels):
+    lbls, video, *_ = labels
+    assert lbls.has_frame(video=video, frame_idx=2)
+    assert lbls.has_frame(lf=lbls[0])
+    assert not lbls.has_frame(video=video, frame_idx=7)
+    assert not lbls.has_frame(video=video, frame_idx=7, use_cache=False)
+    assert sum(1 for _ in lbls.instances()) == 8
+    assert sum(1 for _ in lbls.instances(video=video)) == 8
+    assert lbls.get_track_count(video) == 2
+
+
+def test_track_swap_and_set_instance(labels):
+    lbls, video, skel, tA, tB = labels
+    lbls.track_swap(video, tB, tA, (1, 3))
+    f1 = lbls.find(video, 1)[0]
+    assert f1.instances[0].track is tB and f1.instances[1].track is tA
+    f0 = lbls.find(video, 0)[0]
+    assert f0.instances[0].track is tA  # outside the range: untouched
+
+    tC = Track(0, "C")
+    lbls.track_set_instance(f0, f0.instances[0], tC)
+    assert f0.instances[0].track is tC
+    assert tC in lbls.tracks
+
+
+def test_pseudo_track_swap(labels):
+    """An int old_track matches untracked instances by list index."""
+    lbls, video, skel, tA, tB = labels
+    f0 = lbls.find(video, 0)[0]
+    f0.instances[0].track = None
+    lbls.track_swap(video, tB, 0, (0, 1))
+    assert f0.instances[0].track is tB
+    # One-way: tB's prior occupant keeps its track.
+    assert f0.instances[1].track is tB or f0.instances[1].track is None
+
+
+def test_remove_tracks(labels):
+    lbls, video, skel, tA, tB = labels
+    lbls.remove_track(tA)
+    assert tA not in lbls.tracks
+    assert all(i.track is not tA for i in lbls.instances())
+    lbls.remove_all_tracks()
+    assert lbls.tracks == []
+    assert all(i.track is None for i in lbls.instances())
+
+
+def test_remove_unused_tracks(labels):
+    lbls, video, skel, tA, tB = labels
+    for inst in lbls.instances():
+        if inst.track is tB:
+            inst.track = None
+    lbls.remove_unused_tracks()
+    assert lbls.tracks == [tA]
+
+
+def test_add_remove_instance(labels):
+    lbls, video, skel, tA, tB = labels
+    f0 = lbls[0]
+    # Same-track user instance already in frame -> new instance loses track.
+    dup = Instance(skeleton=skel, points=np.ones((2, 2)), track=tA)
+    lbls.add_instance(f0, dup)
+    assert dup.track is None and dup in f0.instances
+    lbls.remove_instance(f0, dup)
+    assert dup not in f0.instances
+    # Novel track gets registered.
+    tC = Track(0, "C")
+    extra = Instance(skeleton=skel, points=np.ones((2, 2)), track=tC)
+    lbls.add_instance(f0, extra)
+    assert extra.track is tC and tC in lbls.tracks
+
+
+def test_suggestions_api(labels):
+    lbls, video, *_ = labels
+    lbls.add_suggestion(video, 5)
+    lbls.add_suggestion(video, 5)  # dedup
+    lbls.add_suggestion(video, 2)
+    assert len(lbls.suggestions) == 2
+    assert lbls.get_video_suggestions(video) == [5, 2]
+    # Frame 2 has user labels; frame 5 does not exist -> unlabeled.
+    assert lbls.get_video_suggestions(video, user_labeled=False) == [5]
+    assert [s.frame_idx for s in lbls.unlabeled_suggestions] == [5]
+    assert lbls.get_unlabeled_suggestion_inds() == [0]
+    assert lbls.find_suggestion(video, 2).frame_idx == 2
+
+    assert lbls.get_next_suggestion(video, 3, 1).frame_idx == 5
+    # On a suggestion: follows the list order (wrapping).
+    assert lbls.get_next_suggestion(video, 5, 1).frame_idx == 2
+    assert lbls.get_next_suggestion(video, 3, -1).frame_idx == 2
+
+    lbls.remove_suggestion(video, 5)
+    assert [s.frame_idx for s in lbls.suggestions] == [2]
+    lbls.clear_suggestions()
+    assert lbls.suggestions == []
+
+
+def test_copy_is_deep_except_videos(labels):
+    lbls, video, *_ = labels
+    c = lbls.copy()
+    assert len(c) == len(lbls) and c[0] is not lbls[0]
+    assert c[0].video is lbls[0].video  # videos shared (live handles)
+    c[0].instances[0].points["x"][0] = 99.0
+    assert lbls[0].instances[0].points["x"][0] != 99.0
+    assert list(c.tracks) == list(lbls.tracks)
