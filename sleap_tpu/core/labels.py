@@ -715,6 +715,38 @@ class Labels(MutableSequence):
 
     save_file = save
 
+    # Per-format loader shims (reference dataset.py load_deeplabcut:2185,
+    # load_coco, load_alphatracker, load_leap_matlab, load_json, load_nwb).
+    @classmethod
+    def _load_as(cls, filename: str, fmt: str, **kwargs) -> "Labels":
+        from sleap_tpu.io import formats
+
+        return formats.read(filename, as_format=fmt, **kwargs)
+
+    @classmethod
+    def load_deeplabcut(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "dlc", **kwargs)
+
+    @classmethod
+    def load_coco(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "coco", **kwargs)
+
+    @classmethod
+    def load_alphatracker(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "alphatracker", **kwargs)
+
+    @classmethod
+    def load_leap_matlab(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "leap", **kwargs)
+
+    @classmethod
+    def load_json(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "labels_json", **kwargs)
+
+    @classmethod
+    def load_nwb(cls, filename: str, **kwargs) -> "Labels":
+        return cls._load_as(filename, "nwb", **kwargs)
+
     @classmethod
     def load_file(
         cls,

@@ -135,3 +135,21 @@ def test_copy_is_deep_except_videos(labels):
     c[0].instances[0].points["x"][0] = 99.0
     assert lbls[0].instances[0].points["x"][0] != 99.0
     assert list(c.tracks) == list(lbls.tracks)
+
+
+def test_per_format_loader_shims():
+    """Labels.load_deeplabcut/alphatracker/json/leap_matlab classmethods
+    (reference dataset.py:2185+) on the reference's own fixtures."""
+    import os
+
+    base = "/root/reference/tests/data"
+    if not os.path.isdir(base):
+        pytest.skip("reference fixtures unavailable")
+    assert len(Labels.load_deeplabcut(
+        os.path.join(base, "dlc/labeled-data/video/maudlc_testdata.csv"))) == 3
+    assert len(Labels.load_alphatracker(
+        os.path.join(base, "alphatracker/at_testdata.json"))) == 4
+    assert len(Labels.load_json(
+        os.path.join(base, "json_format_v2/minimal_instance.json"))) == 1
+    mats = [f for f in os.listdir(os.path.join(base, "mat")) if f.endswith(".mat")]
+    assert len(Labels.load_leap_matlab(os.path.join(base, "mat", mats[0]))) > 0
