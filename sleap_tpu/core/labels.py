@@ -412,6 +412,49 @@ class Labels(MutableSequence):
             if lf.has_user_instances
         ]
 
+    def get_labeled_frame_count(
+        self, video: Optional[Video] = None, filter: str = ""
+    ) -> int:
+        """Count frames, optionally only those with user/predicted instances
+        (reference dataset.py:1077)."""
+        if filter not in ("", "user", "predicted"):
+            raise ValueError(f"invalid filter: {filter!r}")
+        count = 0
+        for lf in self.labeled_frames:
+            if video is not None and lf.video != video:
+                continue
+            if filter == "user" and not lf.has_user_instances:
+                continue
+            if filter == "predicted" and not lf.has_predicted_instances:
+                continue
+            count += 1
+        return count
+
+    get_frame_count = get_labeled_frame_count
+
+    @property
+    def max_user_instances(self) -> int:
+        return max((lf.n_user_instances for lf in self.labeled_frames), default=0)
+
+    @property
+    def min_user_instances(self) -> Optional[int]:
+        return min(
+            (lf.n_user_instances for lf in self.labeled_frames), default=None
+        )
+
+    @property
+    def is_multi_instance(self) -> bool:
+        """True if any frame has multiple user instances (reference
+        dataset.py:1131)."""
+        return self.max_user_instances > 1
+
+    @classmethod
+    def make_video_callback(cls, search_paths: Optional[List[str]] = None, **_) -> List[str]:
+        """Missing-video resolution hint for :meth:`load_file` (reference
+        dataset.py:2601 returns a GUI-capable callback; here the search-path
+        list itself is the accepted ``video_search`` value)."""
+        return list(search_paths or [])
+
     def copy(self) -> "Labels":
         """Deep copy of frames/instances; videos shared (they hold live
         decoder handles), like :meth:`extract`."""

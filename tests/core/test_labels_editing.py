@@ -153,3 +153,16 @@ def test_per_format_loader_shims():
         os.path.join(base, "json_format_v2/minimal_instance.json"))) == 1
     mats = [f for f in os.listdir(os.path.join(base, "mat")) if f.endswith(".mat")]
     assert len(Labels.load_leap_matlab(os.path.join(base, "mat", mats[0]))) > 0
+
+
+def test_frame_counts_and_multi_instance(labels):
+    lbls, video, skel, tA, tB = labels
+    assert lbls.get_labeled_frame_count() == 4
+    assert lbls.get_labeled_frame_count(video, "user") == 4
+    assert lbls.get_labeled_frame_count(video, "predicted") == 0
+    with pytest.raises(ValueError):
+        lbls.get_labeled_frame_count(filter="bogus")
+    assert lbls.max_user_instances == 2
+    assert lbls.min_user_instances == 2
+    assert lbls.is_multi_instance
+    assert Labels.make_video_callback(["/a", "/b"]) == ["/a", "/b"]
