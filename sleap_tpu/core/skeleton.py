@@ -461,6 +461,53 @@ class Skeleton:
     def from_json(cls, json_str: str, node_list: Optional[List[Node]] = None) -> "Skeleton":
         return cls.from_dict(json.loads(json_str), node_list)
 
+    @classmethod
+    def load_mat(cls, filename: str) -> "Skeleton":
+        """Load a legacy LEAP MATLAB skeleton (reference skeleton.py:1738):
+        ``nodeNames`` cell array + 1-based ``edges`` matrix."""
+        from scipy.io import loadmat
+
+        import numpy as np
+
+        mat = loadmat(filename)
+        node_names = [str(n[0][0]) for n in mat["nodeNames"]]
+        skeleton = cls(name=filename)
+        skeleton.add_nodes(node_names)
+        for src, dst in np.asarray(mat["edges"]) - 1:
+            skeleton.add_edge(node_names[int(src)], node_names[int(dst)])
+        return skeleton
+
+    @property
+    def edges_full(self) -> List[Tuple[Node, Node, Any, Any]]:
+        """(src, dst, key, attrs) tuples for body edges, in the same
+        insert-order as :attr:`edges` (reference skeleton.py edges_full)."""
+        edge_list = [
+            (attrs.get("edge_insert_idx", i), src, dst, key, attrs)
+            for i, (src, dst, key, attrs) in enumerate(
+                self._graph.edges(keys=True, data=True)
+            )
+            if attrs.get("type") == EdgeType.BODY
+        ]
+        edge_list.sort(key=lambda t: (t[0] is None, t[0]))
+        return [(src, dst, key, attrs) for _, src, dst, key, attrs in edge_list]
+
+    def find_neighbors(self, node: Union[str, Node]) -> List[Node]:
+        """All graph neighbors of a node (reference skeleton.py)."""
+        node = self.find_node(node)
+        if node is None:
+            return []
+        return list(self._graph.neighbors(node))
+
+    @property
+    def root_nodes(self) -> List[Node]:
+        """Nodes with no incoming body edges."""
+        targets = {dst for _, dst in self.edges}
+        return [n for n in self.nodes if n not in targets]
+
+    def clear_edges(self) -> None:
+        """Remove all edges, keeping nodes (reference skeleton.py)."""
+        self._graph.remove_edges_from(list(self._graph.edges()))
+
     def save_json(self, filename: str, node_to_idx: Optional[Dict[Node, int]] = None) -> None:
         """Write the skeleton to a JSON file (reference skeleton.py:1526)."""
         with open(filename, "w") as f:

@@ -216,3 +216,32 @@ def test_load_json_reference_fixture_skeletons(tmp_path):
     sk.save_json(out)
     sk2 = Skeleton.load_json(out)
     assert sk2.node_names == sk.node_names and sk2.edge_inds == sk.edge_inds
+
+
+def test_load_mat_and_graph_utils():
+    """Skeleton.load_mat on the reference LEAP fixture + graph utilities
+    (edges_full, find_neighbors, root_nodes, clear_edges)."""
+    import os
+
+    from sleap_tpu.core.skeleton import Skeleton
+
+    p = "/root/reference/tests/data/skeleton/leap_mat_format/skeleton_legs.mat"
+    if not os.path.exists(p):
+        pytest.skip("reference fixture unavailable")
+    sk = Skeleton.load_mat(p)
+    assert sk.n_nodes > 0 and sk.n_edges > 0
+
+    full = sk.edges_full
+    assert len(full) == sk.n_edges
+    src0, dst0 = sk.edges[0]
+    assert (full[0][0], full[0][1]) == (src0, dst0)
+
+    neigh = sk.find_neighbors(src0.name)
+    assert dst0 in neigh
+    assert sk.find_neighbors("no_such_node") == []
+
+    roots = sk.root_nodes
+    assert all(n not in {d for _, d in sk.edges} for n in roots)
+
+    sk.clear_edges()
+    assert sk.n_edges == 0 and sk.n_nodes > 0
