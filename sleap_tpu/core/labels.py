@@ -758,6 +758,71 @@ class Labels(MutableSequence):
 
     save_file = save
 
+    def _frame_data_nums(self, video, all_labeled: bool, suggested: bool):
+        nums = {
+            lf.frame_idx
+            for lf in self.find(video)
+            if all_labeled or lf.has_user_instances
+        }
+        if suggested:
+            nums.update(
+                s.frame_idx for s in self.suggestions if s.video == video
+            )
+        return sorted(nums)
+
+    def save_frame_data_imgstore(
+        self,
+        output_dir: str = "./",
+        format: str = "png",
+        all_labeled: bool = False,
+        suggested: bool = False,
+        progress_callback: Optional[Callable] = None,
+    ) -> List[Video]:
+        """Write labeled-frame images per video into imgstore directories
+        (reference dataset.py:2239; vendored directory store when the
+        ``imgstore`` package is absent)."""
+        out = []
+        for v_idx, video in enumerate(self.videos):
+            path = os.path.join(output_dir, f"frame_data_vid{v_idx}")
+            vid = video.to_imgstore(
+                path=path,
+                frame_numbers=self._frame_data_nums(video, all_labeled, suggested),
+                format=format,
+            )
+            if progress_callback is not None:
+                if progress_callback(v_idx, len(self.videos)) is False:
+                    return []
+            out.append(vid)
+        return out
+
+    def save_frame_data_hdf5(
+        self,
+        output_path: str,
+        format: str = "png",
+        user_labeled: bool = True,
+        all_labeled: bool = False,
+        suggested: bool = False,
+        progress_callback: Optional[Callable] = None,
+    ) -> List[Video]:
+        """Write labeled-frame images per video into one HDF5 file
+        (reference dataset.py:2315; dataset ``video{i}`` per video)."""
+        out = []
+        for v_idx, video in enumerate(self.videos):
+            nums = self._frame_data_nums(
+                video, all_labeled or not user_labeled, suggested
+            )
+            vid = video.to_hdf5(
+                path=output_path,
+                dataset=f"video{v_idx}",
+                frame_numbers=nums,
+                format=format,
+            )
+            if progress_callback is not None:
+                if progress_callback(v_idx, len(self.videos)) is False:
+                    return []
+            out.append(vid)
+        return out
+
     # Per-format loader shims (reference dataset.py load_deeplabcut:2185,
     # load_coco, load_alphatracker, load_leap_matlab, load_json, load_nwb).
     @classmethod

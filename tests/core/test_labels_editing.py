@@ -166,3 +166,22 @@ def test_frame_counts_and_multi_instance(labels):
     assert lbls.min_user_instances == 2
     assert lbls.is_multi_instance
     assert Labels.make_video_callback(["/a", "/b"]) == ["/a", "/b"]
+
+
+def test_save_frame_data(tmp_path, labels):
+    """save_frame_data_imgstore / _hdf5 write per-video frame images
+    (reference dataset.py:2239,2315)."""
+    import h5py
+
+    lbls, video, *_ = labels
+    lbls.add_suggestion(video, 6)
+    vids = lbls.save_frame_data_imgstore(str(tmp_path), suggested=True)
+    assert len(vids) == 1
+    assert vids[0].num_frames == 5  # 4 labeled + 1 suggested
+    assert vids[0].get_frame(0).shape == (16, 16, 1)
+
+    h5p = str(tmp_path / "fd.h5")
+    vids2 = lbls.save_frame_data_hdf5(h5p, format="")
+    with h5py.File(h5p) as f:
+        assert set(f["video0"].keys()) == {"frame_numbers", "source_video", "video"}
+    assert vids2[0].num_frames == 4
