@@ -455,6 +455,27 @@ class Labels(MutableSequence):
         list itself is the accepted ``video_search`` value)."""
         return list(search_paths or [])
 
+    def merge_nodes(self, base_node: str, merge_node: str) -> None:
+        """Merge ``merge_node`` into ``base_node`` project-wide (reference
+        dataset.py:2561): each instance keeps the base point if it has data,
+        else takes the merged node's point; the merged node is then deleted
+        from the skeleton and every instance's point array."""
+        for inst in self.instances():
+            names = inst.skeleton.node_names
+            if base_node not in names or merge_node not in names:
+                continue
+            bi, mi = names.index(base_node), names.index(merge_node)
+            pts = inst.points
+            merge_has = bool(pts["visible"][mi]) and not np.isnan(pts["x"][mi])
+            base_missing = (not pts["visible"][bi]) or np.isnan(pts["x"][bi])
+            if merge_has and base_missing:
+                for field in pts.dtype.names:
+                    pts[field][bi] = pts[field][mi]
+            inst.points = np.delete(pts, mi)
+        for skel in self.skeletons:
+            if base_node in skel.node_names and merge_node in skel.node_names:
+                skel.delete_node(merge_node)
+
     def copy(self) -> "Labels":
         """Deep copy of frames/instances; videos shared (they hold live
         decoder handles), like :meth:`extract`."""

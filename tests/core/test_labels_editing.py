@@ -185,3 +185,27 @@ def test_save_frame_data(tmp_path, labels):
     with h5py.File(h5p) as f:
         assert set(f["video0"].keys()) == {"frame_numbers", "source_video", "video"}
     assert vids2[0].num_frames == 4
+
+
+def test_merge_nodes():
+    """merge_nodes keeps base data when present, else adopts the merged
+    node's point, and deletes the node everywhere (reference
+    dataset.py:2561)."""
+    skel = Skeleton.from_names_and_edge_inds(
+        ["head", "neck2", "neck", "tail"], [(0, 2), (2, 3)]
+    )
+    video = Video.from_numpy(np.zeros((2, 8, 8, 1), np.uint8))
+    p1 = np.array([[1.0, 1.0], [5.0, 5.0], [np.nan, np.nan], [3.0, 3.0]])
+    p2 = np.array([[1.0, 1.0], [7.0, 7.0], [2.0, 2.0], [3.0, 3.0]])
+    lf = LabeledFrame(
+        video=video, frame_idx=0,
+        instances=[
+            Instance(skeleton=skel, points=p1),
+            Instance(skeleton=skel, points=p2),
+        ],
+    )
+    lbls = Labels([lf])
+    lbls.merge_nodes("neck", "neck2")
+    assert lbls.skeleton.node_names == ["head", "neck", "tail"]
+    np.testing.assert_allclose(lf.instances[0].numpy(), [[1, 1], [5, 5], [3, 3]])
+    np.testing.assert_allclose(lf.instances[1].numpy(), [[1, 1], [2, 2], [3, 3]])
