@@ -496,6 +496,87 @@ class LabeledFrame:
         GUI would draw (reference instance.py:1678)."""
         return self.user_instances + self.unused_predictions
 
+    # ------------------------------------------------------------------ #
+    # Conflict-aware merging (reference instance.py:1749-1900)
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def complex_frame_merge(cls, base_frame, new_frame):
+        """Merge ``new_frame`` into ``base_frame``; return
+        ``(merged_instances, extra_base_frame, extra_new_frame)``.
+
+        A conflict exists only when BOTH frames carry same-kind instances
+        (user vs predicted) that have no perfect match in the other; then the
+        base keeps only the perfectly-matching (redundant) instances and both
+        sides' extras come back as conflict frames for the caller to resolve.
+        """
+        redundant: List[Instance] = []
+        extra_base = list(base_frame.instances)
+        extra_new: List[Instance] = []
+        for new_inst in new_frame.instances:
+            matched = None
+            for base_inst in extra_base:
+                if new_inst.matches(base_inst):
+                    matched = base_inst
+                    break
+            if matched is not None:
+                extra_base.remove(matched)
+                redundant.append(matched)
+            else:
+                extra_new.append(new_inst)
+
+        conflict = False
+        if extra_base and extra_new:
+            base_pred = sum(1 for i in extra_base if i.predicted)
+            new_pred = sum(1 for i in extra_new if i.predicted)
+            if base_pred and new_pred:
+                conflict = True
+            elif (len(extra_base) - base_pred) and (len(extra_new) - new_pred):
+                conflict = True
+
+        merged: List[Instance] = []
+        if conflict:
+            base_frame.instances = redundant
+        else:
+            merged = list(extra_new)
+            for inst in extra_new:
+                base_frame.insert_instance(inst)
+            extra_base, extra_new = [], []
+
+        mk = lambda frame, insts: (
+            cls(video=frame.video, frame_idx=frame.frame_idx, instances=insts)
+            if insts
+            else None
+        )
+        return merged, mk(base_frame, extra_base), mk(new_frame, extra_new)
+
+    @classmethod
+    def complex_merge_between(cls, base_labels, new_frames):
+        """Merge a list of frames into ``base_labels``, collecting conflicts
+        (reference instance.py:1749). Returns ``(merged_dict, extra_base,
+        extra_new)`` where merged_dict maps video -> frame_idx -> instances.
+        """
+        merged: Dict[Any, Dict[int, List[Instance]]] = {}
+        extra_base: List["LabeledFrame"] = []
+        extra_new: List["LabeledFrame"] = []
+        for new_frame in new_frames:
+            base_lfs = base_labels.find(new_frame.video, new_frame.frame_idx)
+            if not base_lfs:
+                base_labels.labeled_frames.append(new_frame)
+                merged_instances = new_frame.instances
+            else:
+                merged_instances, eb, en = cls.complex_frame_merge(
+                    base_lfs[0], new_frame
+                )
+                if eb:
+                    extra_base.append(eb)
+                if en:
+                    extra_new.append(en)
+            if merged_instances:
+                merged.setdefault(new_frame.video, {})[new_frame.frame_idx] = (
+                    merged_instances
+                )
+        return merged, extra_base, extra_new
+
     @property
     def image(self) -> np.ndarray:
         return self.video.get_frame(self.frame_idx)

@@ -455,6 +455,43 @@ class Labels(MutableSequence):
         list itself is the accepted ``video_search`` value)."""
         return list(search_paths or [])
 
+    @classmethod
+    def complex_merge_between(
+        cls, base_labels: "Labels", new_labels: "Labels", unify: bool = True
+    ) -> Tuple[Dict, List[LabeledFrame], List[LabeledFrame]]:
+        """Conflict-aware merge (reference dataset.py:1767): everything that
+        merges cleanly lands in ``base_labels``; frames where BOTH sides have
+        unmatched same-kind instances come back as conflict frame lists for
+        the caller to resolve via :meth:`finish_complex_merge`.
+
+        With ``unify`` (default), videos in ``new_labels`` are first remapped
+        to matching base videos (same identifying filename) in place.
+        """
+        if unify:
+            by_key = {_video_match_key(v): v for v in base_labels.videos}
+            by_key.pop(None, None)
+            for lf in new_labels.labeled_frames:
+                match = by_key.get(_video_match_key(lf.video))
+                if match is not None:
+                    lf.video = match
+        merged, extra_base, extra_new = LabeledFrame.complex_merge_between(
+            base_labels, new_labels.labeled_frames
+        )
+        if not extra_base and not extra_new:
+            base_labels.update_cache()
+        base_labels.suggestions.extend(new_labels.suggestions)
+        return merged, extra_base, extra_new
+
+    @staticmethod
+    def finish_complex_merge(
+        base_labels: "Labels", resolved_frames: List[LabeledFrame]
+    ) -> None:
+        """Apply resolved conflict frames after :meth:`complex_merge_between`
+        (reference dataset.py:1830)."""
+        base_labels.labeled_frames.extend(resolved_frames)
+        base_labels.merge_matching_frames()
+        base_labels.update_cache()
+
     def merge_nodes(self, base_node: str, merge_node: str) -> None:
         """Merge ``merge_node`` into ``base_node`` project-wide (reference
         dataset.py:2561): each instance keeps the base point if it has data,
@@ -930,6 +967,19 @@ Labels.export_nwb = _labels_export_nwb
 Labels.export_nix = _labels_export_nix
 
 
+def _video_match_key(video):
+    """Cross-Labels video identity: a real on-disk filename, else None.
+
+    In-memory NumpyVideo backends lazily rewrite their filename to the
+    constant "numpy_video" sentinel, which must NOT match (two distinct
+    arrays would silently merge and dedup-drop frames).
+    """
+    fn = getattr(video, "filename", None)
+    if isinstance(fn, str) and fn and fn != "numpy_video":
+        return fn
+    return None
+
+
 def _labels_merge(self, other: "Labels") -> None:
     """Merge another Labels into this one (frame-level union).
 
@@ -938,15 +988,7 @@ def _labels_merge(self, other: "Labels") -> None:
     reference's interactive three-way conflict resolution lives in its GUI;
     this is the programmatic merge, reference dataset.py:1767.)
     """
-    def _match_key(video):
-        # Only real on-disk filenames identify a video across Labels objects.
-        # In-memory NumpyVideo backends lazily rewrite their filename to the
-        # constant "numpy_video" sentinel, which must NOT match (two distinct
-        # arrays would silently merge and dedup-drop frames).
-        fn = getattr(video, "filename", None)
-        if isinstance(fn, str) and fn and fn != "numpy_video":
-            return fn
-        return None
+    _match_key = _video_match_key
 
     video_map = {}
     for v_other in other.videos:

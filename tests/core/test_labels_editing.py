@@ -209,3 +209,42 @@ def test_merge_nodes():
     assert lbls.skeleton.node_names == ["head", "neck", "tail"]
     np.testing.assert_allclose(lf.instances[0].numpy(), [[1, 1], [5, 5], [3, 3]])
     np.testing.assert_allclose(lf.instances[1].numpy(), [[1, 1], [2, 2], [3, 3]])
+
+
+def test_complex_merge_between():
+    """Conflict-aware merge (reference dataset.py:1767, instance.py:1749):
+    clean merges land in base; two-sided unmatched extras come back as
+    conflict frames; finish_complex_merge applies a resolution."""
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)])
+    video = Video.from_numpy(np.zeros((4, 8, 8, 1), np.uint8))
+
+    def inst(v):
+        return Instance(skeleton=skel, points=np.full((2, 2), float(v)))
+
+    # Clean: disjoint frames.
+    base = Labels([LabeledFrame(video=video, frame_idx=0, instances=[inst(1)])])
+    new = Labels([LabeledFrame(video=video, frame_idx=1, instances=[inst(2)])])
+    merged, eb, en = Labels.complex_merge_between(base, new, unify=False)
+    assert len(base) == 2 and not eb and not en
+    assert merged[video][1][0].numpy()[0, 0] == 2
+
+    # Clean: redundant match + extras on one side only.
+    base = Labels([LabeledFrame(video=video, frame_idx=0, instances=[inst(1)])])
+    new = Labels(
+        [LabeledFrame(video=video, frame_idx=0, instances=[inst(1), inst(3)])]
+    )
+    _, eb, en = Labels.complex_merge_between(base, new, unify=False)
+    assert not eb and not en and len(base[0].instances) == 2
+
+    # Conflict: both sides have unmatched user instances.
+    base = Labels(
+        [LabeledFrame(video=video, frame_idx=0, instances=[inst(1), inst(4)])]
+    )
+    new = Labels(
+        [LabeledFrame(video=video, frame_idx=0, instances=[inst(1), inst(5)])]
+    )
+    _, eb, en = Labels.complex_merge_between(base, new, unify=False)
+    assert len(eb) == 1 and len(en) == 1
+    assert len(base[0].instances) == 1  # only the perfect match retained
+    Labels.finish_complex_merge(base, en)
+    assert len(base) == 1 and len(base[0].instances) == 2
