@@ -39,18 +39,33 @@ def export_model(
     predictor = Predictor.from_model_paths(
         model_path, batch_size=batch_size, max_instances=max_instances, **kwargs
     )
-    infer_fn = predictor._build_infer_fn()
-
-    # Input signature: infer image size from the config when not given.
     if image_size is None:
         image_size = 1024
+    return export_predictor(
+        predictor,
+        save_path,
+        image_size=image_size,
+        model_paths=[model_path] if isinstance(model_path, str) else list(model_path),
+    )
+
+
+def export_predictor(
+    predictor,
+    save_path: str = "exported_model",
+    image_size: int = 1024,
+    model_paths: Optional[Sequence[str]] = None,
+) -> str:
+    """Export a live predictor's fused inference fn as serialized StableHLO."""
+    from jax import export as jax_export
+
+    infer_fn = predictor._build_infer_fn()
     channels = 1
     for attr_name in ("confmap_model", "centroid_model", "bottomup_model", "model"):
         tm = getattr(predictor, attr_name, None)
         if tm is not None:
             channels = tm.input_channels
             break
-
+    batch_size = predictor.batch_size
     x_spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, channels), jnp.uint8)
     exported = jax_export.export(jax.jit(infer_fn))(x_spec)
     blob = exported.serialize()
@@ -60,7 +75,7 @@ def export_model(
         f.write(blob)
     info = {
         "predictor": type(predictor).__name__,
-        "model_paths": [model_path] if isinstance(model_path, str) else list(model_path),
+        "model_paths": list(model_paths or []),
         "input_shape": [batch_size, image_size, image_size, channels],
         "input_dtype": "uint8",
         "outputs": "dict of NaN-padded arrays (instance_peaks, instance_peak_vals, ...)",

@@ -341,6 +341,15 @@ class Predictor:
             return labels
         return list(generator)
 
+    def export_model(
+        self, save_path: str = "exported_model", image_size: int = 1024, **kwargs
+    ) -> str:
+        """Export this predictor's fused inference fn as serialized StableHLO
+        (reference Predictor.export_model, inference.py:533)."""
+        from sleap_tpu.inference.export import export_predictor
+
+        return export_predictor(self, save_path, image_size=image_size, **kwargs)
+
     def _report_progress(self, done: int, total: int, t0: float) -> None:
         if self.verbosity == "json":
             print(

@@ -49,3 +49,53 @@ def test_sleap_export_cli(tmp_path, capsys):
     main(["-m", model, "-e", save_path, "--batch_size", "1", "--image_size", "96"])
     assert "Exported to:" in capsys.readouterr().out
     assert os.path.exists(os.path.join(save_path, "model.stablehlo"))
+
+
+def test_predictor_export_model_method(tmp_path):
+    """Predictor.export_model exports the live predictor (reference
+    inference.py:533) and the artifact round-trips."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sleap_tpu.config import (
+        BackboneConfig,
+        HeadsConfig,
+        ModelConfig,
+        SingleInstanceConfmapsHeadConfig,
+        TrainingJobConfig,
+        UNetConfig,
+    )
+    from sleap_tpu.inference.export import load_exported_model
+    from sleap_tpu.inference.predictors import (
+        SingleInstancePredictor,
+        TrainedModel,
+    )
+    from sleap_tpu.models.model import Model
+
+    cfg_m = ModelConfig(
+        backbone=BackboneConfig(
+            unet=UNetConfig(max_stride=8, output_stride=4, filters=4)
+        ),
+        heads=HeadsConfig(
+            single_instance=SingleInstanceConfmapsHeadConfig(
+                part_names=["a", "b"], output_stride=4
+            )
+        ),
+    )
+    model = Model.from_config(cfg_m)
+    module = model.make_flax_module()
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    pred = SingleInstancePredictor(
+        confmap_model=TrainedModel(
+            config=TrainingJobConfig(model=cfg_m), model=model, module=module,
+            variables=variables, input_channels=1,
+        ),
+        batch_size=2,
+    )
+    out = pred.export_model(str(tmp_path / "exp"), image_size=64)
+    fn = load_exported_model(out)
+    res = fn(np.zeros((2, 64, 64, 1), np.uint8))
+    assert res["instance_peaks"].shape[0] == 2
