@@ -293,9 +293,17 @@ class Instance:
         if n == 0:
             return
         xy = np.random.rand(n, 2) * np.array([w, h]) + np.array([x1, y1])
-        self.points["x"][missing] = np.maximum(xy[:, 0], 0.0)
-        self.points["y"][missing] = np.maximum(xy[:, 1], 0.0)
-        self.points["visible"][missing] = True
+        xy = np.maximum(xy, 0.0)
+        if max_x is not None:
+            xy[:, 0] = np.minimum(xy[:, 0], max_x)
+        if max_y is not None:
+            xy[:, 1] = np.minimum(xy[:, 1], max_y)
+        self.points["x"][missing] = xy[:, 0]
+        self.points["y"][missing] = xy[:, 1]
+        # Reference keeps the generated points INVISIBLE (instance.py:819):
+        # they are GUI placeholders, not labeled data — numpy()/centroid/
+        # n_visible_points must still treat these nodes as missing.
+        self.points["visible"][missing] = False
 
     def matches(self, other: "Instance") -> bool:
         if type(self) is not type(other):

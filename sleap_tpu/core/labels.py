@@ -474,6 +474,10 @@ class Labels(MutableSequence):
                 match = by_key.get(_video_match_key(lf.video))
                 if match is not None:
                     lf.video = match
+            for s in new_labels.suggestions:
+                match = by_key.get(_video_match_key(s.video))
+                if match is not None:
+                    s.video = match
         merged, extra_base, extra_new = LabeledFrame.complex_merge_between(
             base_labels, new_labels.labeled_frames
         )
@@ -514,9 +518,15 @@ class Labels(MutableSequence):
                 skel.delete_node(merge_node)
 
     def copy(self) -> "Labels":
-        """Deep copy of frames/instances; videos shared (they hold live
-        decoder handles), like :meth:`extract`."""
-        new = self.extract(range(len(self)), copy=True)
+        """Deep copy of frames/instances; videos AND tracks shared (videos
+        hold live decoder handles; sharing tracks keeps instance.track
+        identity consistent with the copied registry)."""
+        import copy as _copy
+
+        memo = {id(v): v for v in self.videos}
+        memo.update({id(t): t for t in self.tracks})
+        lfs = _copy.deepcopy(self.labeled_frames, memo)
+        new = Labels(labeled_frames=lfs, provenance=dict(self.provenance))
         new.tracks = list(self.tracks)
         new.suggestions = list(self.suggestions)
         return new
@@ -603,13 +613,16 @@ class Labels(MutableSequence):
             cand = max((i for i in vid_inds if i < frame_idx), default=None)
         if cand is not None:
             return self.find_suggestion(video, cand)
-        # Wrap to the next video with suggestions (list order).
-        vids = [s.video for s in self.suggestions]
-        if video in vids:
-            start = vids.index(video)
-        else:
-            start = 0
-        return self.suggestions[(start + seek_direction) % len(self.suggestions)]
+        # Wrap: earliest (or latest) suggestion of the next video in
+        # self.videos order (reference dataset.py:1483-1495).
+        next_video = self.videos[
+            (self.videos.index(video) + seek_direction) % len(self.videos)
+        ]
+        inds = self.get_video_suggestions(next_video)
+        if not inds:
+            return None
+        target = min(inds) if seek_direction == 1 else max(inds)
+        return self.find_suggestion(next_video, target)
 
     def remove_frame(self, lf: LabeledFrame) -> None:
         self.labeled_frames.remove(lf)
@@ -785,17 +798,8 @@ class Labels(MutableSequence):
 
         export_analysis_file(self, filename, all_frames=True)
 
-    def export_csv(self, filename: str) -> None:
-        """Export to the analysis CSV format (one row per frame x track)."""
-        from sleap_tpu.info.write_tracking_h5 import export_analysis_file
-
-        export_analysis_file(self, filename, all_frames=True, csv=True)
-
-    def export_nwb(self, filename: str, **kwargs) -> None:
-        """Export predicted instances to an NWB (ndx-pose) file."""
-        from sleap_tpu.io.formats.ndx_pose import write_labels
-
-        write_labels(filename, self, **kwargs)
+    # (export_csv / export_nwb / export_nix are attached after the class
+    # body from the module-level _labels_export_* implementations.)
 
     # ------------------------------------------------------------------ #
     # I/O
@@ -816,11 +820,13 @@ class Labels(MutableSequence):
 
     save_file = save
 
-    def _frame_data_nums(self, video, all_labeled: bool, suggested: bool):
+    def _frame_data_nums(
+        self, video, all_labeled: bool, suggested: bool, user_labeled: bool = True
+    ):
         nums = {
             lf.frame_idx
             for lf in self.find(video)
-            if all_labeled or lf.has_user_instances
+            if all_labeled or (user_labeled and lf.has_user_instances)
         }
         if suggested:
             nums.update(
@@ -867,7 +873,7 @@ class Labels(MutableSequence):
         out = []
         for v_idx, video in enumerate(self.videos):
             nums = self._frame_data_nums(
-                video, all_labeled or not user_labeled, suggested
+                video, all_labeled, suggested, user_labeled=user_labeled
             )
             vid = video.to_hdf5(
                 path=output_path,

@@ -492,11 +492,18 @@ class Skeleton:
         return [(src, dst, key, attrs) for _, src, dst, key, attrs in edge_list]
 
     def find_neighbors(self, node: Union[str, Node]) -> List[Node]:
-        """All graph neighbors of a node (reference skeleton.py)."""
+        """Nodes connected to ``node`` by a BODY edge, either direction
+        (reference skeleton.py graph neighbors; symmetry edges excluded)."""
         node = self.find_node(node)
         if node is None:
             return []
-        return list(self._graph.neighbors(node))
+        out = []
+        for src, dst in self.edges:
+            if src is node and dst not in out:
+                out.append(dst)
+            elif dst is node and src not in out:
+                out.append(src)
+        return out
 
     @property
     def root_nodes(self) -> List[Node]:
@@ -505,8 +512,14 @@ class Skeleton:
         return [n for n in self.nodes if n not in targets]
 
     def clear_edges(self) -> None:
-        """Remove all edges, keeping nodes (reference skeleton.py)."""
-        self._graph.remove_edges_from(list(self._graph.edges()))
+        """Remove all BODY edges, keeping nodes and symmetries (reference
+        skeleton.py iterates self.edges, which is body-only)."""
+        body = [
+            (src, dst, key)
+            for src, dst, key, attrs in self._graph.edges(keys=True, data=True)
+            if attrs.get("type") == EdgeType.BODY
+        ]
+        self._graph.remove_edges_from(body)
 
     def save_json(self, filename: str, node_to_idx: Optional[Dict[Node, int]] = None) -> None:
         """Write the skeleton to a JSON file (reference skeleton.py:1526)."""

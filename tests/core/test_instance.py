@@ -224,10 +224,12 @@ def test_from_pointsarray_aliases_and_fill_missing():
     inst = Instance.from_pointsarray(pts, skeleton=skel)
     assert inst.n_visible_points == 2
     inst.fill_missing(max_x=10, max_y=10)
-    assert inst.n_visible_points == 3
-    filled = inst.numpy()
-    assert np.all(np.isfinite(filled))
-    assert filled[:, 0].max() <= 10 and filled[:, 1].max() <= 10
+    # Generated placeholder points get coordinates but stay INVISIBLE
+    # (reference instance.py:819): numpy()/visible counts treat them missing.
+    assert inst.n_visible_points == 2
+    assert np.isnan(inst.numpy()[1]).all()
+    assert np.isfinite(inst.points["x"]).all()
+    assert inst.points["x"].max() <= 10 and inst.points["y"].max() <= 10
 
     pred = PredictedInstance.from_pointsarray(
         pts, np.array([0.9, 0.0, 0.8]), 0.7, skel

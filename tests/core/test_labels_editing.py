@@ -135,6 +135,11 @@ def test_copy_is_deep_except_videos(labels):
     c[0].instances[0].points["x"][0] = 99.0
     assert lbls[0].instances[0].points["x"][0] != 99.0
     assert list(c.tracks) == list(lbls.tracks)
+    # Track identity must be consistent between registry and instances:
+    # the copy's instances point at tracks that ARE in c.tracks.
+    for inst in c.instances():
+        if inst.track is not None:
+            assert any(inst.track is t for t in c.tracks)
 
 
 def test_per_format_loader_shims():
@@ -248,3 +253,40 @@ def test_complex_merge_between():
     assert len(base[0].instances) == 1  # only the perfect match retained
     Labels.finish_complex_merge(base, en)
     assert len(base) == 1 and len(base[0].instances) == 2
+
+
+def test_save_frame_data_hdf5_user_labeled_false(tmp_path, labels):
+    """user_labeled=False with suggested=True exports ONLY suggested frames
+    (regression: the flag used to invert into all-labeled)."""
+    import h5py
+
+    lbls, video, *_ = labels
+    lbls.add_suggestion(video, 6)
+    h5p = str(tmp_path / "fd.h5")
+    lbls.save_frame_data_hdf5(h5p, format="", user_labeled=False, suggested=True)
+    with h5py.File(h5p) as f:
+        assert list(f["video0"]["frame_numbers"][:]) == [6]
+
+
+def test_get_next_suggestion_wraps_to_next_video():
+    """Past the last suggestion in a video, navigation lands on the NEXT
+    video's earliest suggestion (reference dataset.py:1483), never an
+    earlier frame of the same video."""
+    skel = Skeleton.from_names_and_edge_inds(["a", "b"], [(0, 1)])
+    v1 = Video.from_numpy(np.zeros((30, 8, 8, 1), np.uint8))
+    v2 = Video.from_numpy(np.full((30, 8, 8, 1), 9, np.uint8))
+    lbls = Labels(
+        [
+            LabeledFrame(video=v1, frame_idx=0,
+                         instances=[Instance(skeleton=skel, points=np.ones((2, 2)))]),
+            LabeledFrame(video=v2, frame_idx=0,
+                         instances=[Instance(skeleton=skel, points=np.ones((2, 2)))]),
+        ]
+    )
+    lbls.add_suggestion(v1, 5)
+    lbls.add_suggestion(v1, 10)
+    lbls.add_suggestion(v2, 3)
+    s = lbls.get_next_suggestion(v1, 20, 1)
+    assert s.video is v2 and s.frame_idx == 3
+    s = lbls.get_next_suggestion(v2, 1, -1)
+    assert s.video is v1 and s.frame_idx == 10

@@ -238,10 +238,16 @@ def test_load_mat_and_graph_utils():
 
     neigh = sk.find_neighbors(src0.name)
     assert dst0 in neigh
+    # Neighbors include predecessors (body edges in either direction).
+    assert src0 in sk.find_neighbors(dst0.name)
     assert sk.find_neighbors("no_such_node") == []
 
     roots = sk.root_nodes
     assert all(n not in {d for _, d in sk.edges} for n in roots)
 
+    # clear_edges removes only BODY edges; symmetries survive.
+    sk.add_symmetry(sk.nodes[0].name, sk.nodes[1].name)
     sk.clear_edges()
     assert sk.n_edges == 0 and sk.n_nodes > 0
+    assert len(sk.symmetries) == 1
+    assert sk.find_neighbors(sk.nodes[0].name) == []  # symmetry not a neighbor
