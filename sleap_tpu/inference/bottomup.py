@@ -27,6 +27,7 @@ from sleap_tpu.inference.predictors import (
     TrainedModel,
     _adjust_peaks,
     _attach_tracker,
+    _can_defer_float,
     _preprocess,
     _skeleton_from_config,
     load_trained_model,
@@ -115,7 +116,10 @@ class BottomUpPredictor(Predictor):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, tm.grayscale, input_scale, pad)
+            imgs = _preprocess(
+                images, tm.grayscale, input_scale, pad,
+                defer_float=_can_defer_float(tm),
+            )
             out = module.apply(tm.variables, imgs, train=False)
             cms = out[find_head(out, "MultiInstanceConfmapsHead")]
             pafs = out[find_head(out, "PartAffinityFieldsHead")]

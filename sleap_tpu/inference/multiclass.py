@@ -29,6 +29,7 @@ from sleap_tpu.inference.predictors import (
     TrainedModel,
     _adjust_peaks,
     _cast_like,
+    _can_defer_float,
     _preprocess,
     _skeleton_from_config,
     load_trained_model,
@@ -126,7 +127,10 @@ class BottomUpMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, tm.grayscale, input_scale, pad)
+            imgs = _preprocess(
+                images, tm.grayscale, input_scale, pad,
+                defer_float=_can_defer_float(tm),
+            )
             out = tm.module.apply(tm.variables, imgs, train=False)
             cms = out[find_head(out, "MultiInstanceConfmapsHead")]
             class_maps = out[find_head(out, "ClassMapsHead")]
@@ -264,7 +268,10 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             sample_inds = jnp.repeat(jnp.arange(S), K)
             crops = crop_bboxes_unit(full, top_left, sample_inds, (crop_size, crop_size))
             crops = _cast_like(crops, full.dtype)
-            crops_p = _preprocess(crops, itm.grayscale, i_scale, 1, resize_img=False)
+            crops_p = _preprocess(
+                crops, itm.grayscale, i_scale, 1, resize_img=False,
+                defer_float=_can_defer_float(itm),
+            )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
             cms2 = out2[find_head(out2, "CenteredInstanceConfmapsHead")]
             class_vecs = out2[find_head(out2, "ClassVectorsHead")]  # (S*K, n_classes)
@@ -305,7 +312,10 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, ctm.grayscale, c_scale, c_pad)
+            imgs = _preprocess(
+                images, ctm.grayscale, c_scale, c_pad,
+                defer_float=_can_defer_float(ctm),
+            )
             out = ctm.module.apply(ctm.variables, imgs, train=False)
             cms = out[find_head(out, "CentroidConfmapsHead")]
             off_key = find_head(out, "OffsetRefinementHead")

@@ -166,9 +166,21 @@ def _preprocess(
     pad_stride: int,
     resize_img: bool = True,
     imagenet_mode: Optional[str] = None,
+    defer_float: bool = False,
 ) -> jnp.ndarray:
-    """On-chip preprocessing (reference InferenceLayer.preprocess, :940-967)."""
+    """On-chip preprocessing (reference InferenceLayer.preprocess, :940-967).
+
+    ``defer_float=True`` keeps integer images integer (when no resize or
+    imagenet transform needs floats) and lets the model normalize them
+    in-graph — ``EncoderDecoderNet`` runs its space-to-depth stem on the raw
+    uint8 pixels before normalizing, halving the stem transpose's HBM
+    traffic. Bit-identical to the eager ``ensure_float`` path.
+    """
     imgs = ensure_grayscale(imgs) if grayscale else ensure_rgb(imgs)
+    if defer_float and not imagenet_mode and not (resize_img and input_scale != 1.0):
+        if pad_stride and pad_stride > 1:
+            imgs = pad_to_stride(imgs, pad_stride)
+        return imgs
     imgs = ensure_float(imgs)
     if imagenet_mode:
         from sleap_tpu.data.normalization import apply_imagenet_mode
@@ -179,6 +191,15 @@ def _preprocess(
     if pad_stride and pad_stride > 1:
         imgs = pad_to_stride(imgs, pad_stride)
     return imgs
+
+
+def _can_defer_float(tm) -> bool:
+    """True when ``tm.module`` normalizes integer inputs in-graph (PoseNet /
+    EncoderDecoderNet backbones), so ``_preprocess`` may skip ``ensure_float``
+    and hand the model raw uint8 (s2d stem then transposes 1-byte pixels)."""
+    from sleap_tpu.models.model import PoseNet
+
+    return isinstance(tm.module, PoseNet)
 
 
 def _cast_like(crops: jnp.ndarray, ref_dtype) -> jnp.ndarray:
@@ -431,7 +452,10 @@ class SingleInstancePredictor(Predictor):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, grayscale, input_scale, pad)
+            imgs = _preprocess(
+                images, grayscale, input_scale, pad,
+                defer_float=_can_defer_float(tm),
+            )
             out = module.apply(variables, imgs, train=False)
             cm_key = find_head(out, "SingleInstanceConfmapsHead")
             off_key = find_head(out, "OffsetRefinementHead")
@@ -591,7 +615,10 @@ class TopDownPredictor(Predictor):
         @jax.jit
         def infer(images):
             # ---- Stage 1: centroids ----
-            imgs = _preprocess(images, ctm.grayscale, c_scale, c_pad)
+            imgs = _preprocess(
+                images, ctm.grayscale, c_scale, c_pad,
+                defer_float=_can_defer_float(ctm),
+            )
             out = ctm.module.apply(ctm.variables, imgs, train=False)
             cms = out[find_head(out, "CentroidConfmapsHead")]
             off_key = find_head(out, "OffsetRefinementHead")
@@ -628,7 +655,8 @@ class TopDownPredictor(Predictor):
 
             # ---- Stage 3: instance peaks on crops ----
             crops_p = _preprocess(
-                crops, itm.grayscale, i_scale, 1, resize_img=False
+                crops, itm.grayscale, i_scale, 1, resize_img=False,
+                defer_float=_can_defer_float(itm),
             )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
             cm_key = find_head(out2, "CenteredInstanceConfmapsHead")
@@ -678,7 +706,10 @@ class TopDownPredictor(Predictor):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, ctm.grayscale, c_scale, c_pad)
+            imgs = _preprocess(
+                images, ctm.grayscale, c_scale, c_pad,
+                defer_float=_can_defer_float(ctm),
+            )
             out = ctm.module.apply(ctm.variables, imgs, train=False)
             cms = out[find_head(out, "CentroidConfmapsHead")]
             off_key = find_head(out, "OffsetRefinementHead")
@@ -755,7 +786,10 @@ class TopDownPredictor(Predictor):
             sample_inds = jnp.repeat(jnp.arange(S), K)
             crops = crop_bboxes_unit(full, top_left, sample_inds, (crop_size, crop_size))
             crops = _cast_like(crops, full.dtype)
-            crops_p = _preprocess(crops, itm.grayscale, i_scale, 1, resize_img=False)
+            crops_p = _preprocess(
+                crops, itm.grayscale, i_scale, 1, resize_img=False,
+                defer_float=_can_defer_float(itm),
+            )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
             cms2 = out2[find_head(out2, "CenteredInstanceConfmapsHead")]
             off2 = find_head(out2, "OffsetRefinementHead")
@@ -1023,7 +1057,10 @@ class VisualPredictor(Predictor):
 
         @jax.jit
         def infer(images):
-            imgs = _preprocess(images, tm.grayscale, input_scale, pad)
+            imgs = _preprocess(
+                images, tm.grayscale, input_scale, pad,
+                defer_float=_can_defer_float(tm),
+            )
             out = tm.module.apply(tm.variables, imgs, train=False)
             renamed = {}
             for key, val in out.items():

@@ -565,13 +565,30 @@ class EncoderDecoderNet(nn.Module):
     compute_dtype: Any = jnp.float32
     fold_s2d_stem: Optional[bool] = None  # None -> module default FOLD_S2D_STEM
 
+    def _normalize_int(self, x):
+        return (x.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(self.compute_dtype)
         current_stride = 1
         fold_s2d = (
             FOLD_S2D_STEM if self.fold_s2d_stem is None else self.fold_s2d_stem
         )
+        # Integer inputs are raw pixels: normalize to [0, 1] like
+        # ``ensure_float`` (reference normalization.py ensure_float). When the
+        # net starts with a space-to-depth stem, defer the normalize until
+        # after the stem so the big transpose moves 1-byte elements instead of
+        # bf16/f32 — s2d is pure data movement, so the result is bit-identical
+        # ((f32(x)/255) -> compute_dtype either side of the shuffle).
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            first_blocks = tuple(self.stem_blocks) + tuple(self.encoder_blocks)
+            s2d_first = (
+                not fold_s2d and first_blocks and first_blocks[0][0] == "s2d"
+            )
+            if not s2d_first:
+                x = self._normalize_int(x)
+        else:
+            x = x.astype(self.compute_dtype)
 
         def conv(x, filters, kernel_size, use_bias, name):
             return nn.Conv(
@@ -629,7 +646,10 @@ class EncoderDecoderNet(nn.Module):
                 _, _, factor = blk
                 if fold_s2d and factor > 1:
                     return _VirtualS2D(x, factor)
-                return space_to_depth(x, factor)
+                x = space_to_depth(x, factor)
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = self._normalize_int(x)  # deferred from __call__
+                return x
             if kind == "hg_stem":
                 _, pool, pstride, filters, output_filters = blk
                 s1 = 2 if (pool and pstride == 4) else 1
