@@ -35,9 +35,14 @@ def ensure_rgb(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def ensure_float(image: jnp.ndarray) -> jnp.ndarray:
-    """Integer images -> float32 in [0, 1]; float images passed through."""
+    """Integer images -> float32 in [0, 1]; float images passed through.
+
+    Integer scaling divides by the dtype max like the reference's
+    ``tf.image.convert_image_dtype`` (normalization.py ``ensure_float``):
+    uint8 -> /255, uint16 -> /65535.
+    """
     if jnp.issubdtype(image.dtype, jnp.integer):
-        return image.astype(jnp.float32) / 255.0
+        return image.astype(jnp.float32) / float(jnp.iinfo(image.dtype).max)
     return image.astype(jnp.float32)
 
 

@@ -118,6 +118,7 @@ class BottomUpPredictor(Predictor):
         def infer(images):
             imgs = _preprocess(
                 images, tm.grayscale, input_scale, pad,
+                imagenet_mode=tm.imagenet_mode,
                 defer_float=_can_defer_float(tm),
             )
             out = module.apply(tm.variables, imgs, train=False)

@@ -129,6 +129,7 @@ class BottomUpMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
         def infer(images):
             imgs = _preprocess(
                 images, tm.grayscale, input_scale, pad,
+                imagenet_mode=tm.imagenet_mode,
                 defer_float=_can_defer_float(tm),
             )
             out = tm.module.apply(tm.variables, imgs, train=False)
@@ -270,6 +271,7 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
             crops = _cast_like(crops, full.dtype)
             crops_p = _preprocess(
                 crops, itm.grayscale, i_scale, 1, resize_img=False,
+                imagenet_mode=itm.imagenet_mode,
                 defer_float=_can_defer_float(itm),
             )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
@@ -314,6 +316,7 @@ class TopDownMultiClassPredictor(Predictor, _MultiClassBuilderMixin):
         def infer(images):
             imgs = _preprocess(
                 images, ctm.grayscale, c_scale, c_pad,
+                imagenet_mode=ctm.imagenet_mode,
                 defer_float=_can_defer_float(ctm),
             )
             out = ctm.module.apply(ctm.variables, imgs, train=False)

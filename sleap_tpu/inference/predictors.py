@@ -76,6 +76,13 @@ class TrainedModel:
     def grayscale(self) -> bool:
         return self.input_channels == 1
 
+    @property
+    def imagenet_mode(self) -> Optional[str]:
+        """ImageNet preprocessing mode the model was trained with (reference
+        data/normalization.py:319 reads config.imagenet_mode); inference
+        must reproduce it."""
+        return self.config.data.preprocessing.imagenet_mode
+
 
 def _unpack_zip(path: str) -> str:
     """Unzip exported model bundles to a sibling directory."""
@@ -454,6 +461,7 @@ class SingleInstancePredictor(Predictor):
         def infer(images):
             imgs = _preprocess(
                 images, grayscale, input_scale, pad,
+                imagenet_mode=tm.imagenet_mode,
                 defer_float=_can_defer_float(tm),
             )
             out = module.apply(variables, imgs, train=False)
@@ -617,6 +625,7 @@ class TopDownPredictor(Predictor):
             # ---- Stage 1: centroids ----
             imgs = _preprocess(
                 images, ctm.grayscale, c_scale, c_pad,
+                imagenet_mode=ctm.imagenet_mode,
                 defer_float=_can_defer_float(ctm),
             )
             out = ctm.module.apply(ctm.variables, imgs, train=False)
@@ -656,6 +665,7 @@ class TopDownPredictor(Predictor):
             # ---- Stage 3: instance peaks on crops ----
             crops_p = _preprocess(
                 crops, itm.grayscale, i_scale, 1, resize_img=False,
+                imagenet_mode=itm.imagenet_mode,
                 defer_float=_can_defer_float(itm),
             )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
@@ -708,6 +718,7 @@ class TopDownPredictor(Predictor):
         def infer(images):
             imgs = _preprocess(
                 images, ctm.grayscale, c_scale, c_pad,
+                imagenet_mode=ctm.imagenet_mode,
                 defer_float=_can_defer_float(ctm),
             )
             out = ctm.module.apply(ctm.variables, imgs, train=False)
@@ -788,6 +799,7 @@ class TopDownPredictor(Predictor):
             crops = _cast_like(crops, full.dtype)
             crops_p = _preprocess(
                 crops, itm.grayscale, i_scale, 1, resize_img=False,
+                imagenet_mode=itm.imagenet_mode,
                 defer_float=_can_defer_float(itm),
             )
             out2 = itm.module.apply(itm.variables, crops_p, train=False)
@@ -1059,6 +1071,7 @@ class VisualPredictor(Predictor):
         def infer(images):
             imgs = _preprocess(
                 images, tm.grayscale, input_scale, pad,
+                imagenet_mode=tm.imagenet_mode,
                 defer_float=_can_defer_float(tm),
             )
             out = tm.module.apply(tm.variables, imgs, train=False)

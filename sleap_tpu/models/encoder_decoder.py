@@ -566,7 +566,11 @@ class EncoderDecoderNet(nn.Module):
     fold_s2d_stem: Optional[bool] = None  # None -> module default FOLD_S2D_STEM
 
     def _normalize_int(self, x):
-        return (x.astype(jnp.float32) / 255.0).astype(self.compute_dtype)
+        # Divide by the dtype max (tf.image.convert_image_dtype semantics,
+        # matching data.normalization.ensure_float): uint8 /255, uint16
+        # /65535 — NOT a hardcoded /255 for every integer width.
+        scale = float(jnp.iinfo(x.dtype).max)
+        return (x.astype(jnp.float32) / scale).astype(self.compute_dtype)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
