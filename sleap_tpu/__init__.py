@@ -17,6 +17,7 @@ from sleap_tpu.version import __version__, versions
 from sleap_tpu.core.skeleton import Node, Skeleton
 from sleap_tpu.core.instance import (
     Instance,
+    InstancesList,
     LabeledFrame,
     PredictedInstance,
     Track,

@@ -402,6 +402,77 @@ class PredictedInstance(Instance):
         )
 
 
+class InstancesList(list):
+    """A list of instances that keeps each member's ``frame`` backlink in
+    sync with an owning :class:`LabeledFrame`.
+
+    Reference analog: ``/root/reference/sleap/instance.py:1307``. Every list
+    mutation stamps (or clears) ``instance.frame``; ``copy()`` returns a plain
+    list, matching the reference.
+    """
+
+    def __init__(self, *args, labeled_frame: Optional["LabeledFrame"] = None):
+        super().__init__(*args)
+        self._labeled_frame = labeled_frame
+        for inst in self:
+            inst.frame = labeled_frame
+
+    @property
+    def labeled_frame(self) -> Optional["LabeledFrame"]:
+        return self._labeled_frame
+
+    @labeled_frame.setter
+    def labeled_frame(self, labeled_frame: Optional["LabeledFrame"]) -> None:
+        if getattr(self, "_labeled_frame", None) is labeled_frame:
+            return
+        self._labeled_frame = labeled_frame
+        for inst in self:
+            inst.frame = labeled_frame
+
+    def append(self, instance: "Instance") -> None:
+        if not isinstance(instance, Instance):
+            raise ValueError(
+                "InstancesList can only contain Instance or PredictedInstance "
+                f"objects, but got {type(instance)}."
+            )
+        instance.frame = self._labeled_frame
+        super().append(instance)
+
+    def extend(self, instances: Iterable["Instance"]) -> None:
+        for inst in instances:
+            self.append(inst)
+
+    def insert(self, index: int, instance: "Instance") -> None:
+        super().insert(index, instance)
+        instance.frame = self._labeled_frame
+
+    def __setitem__(self, index, instance) -> None:
+        super().__setitem__(index, instance)
+        instance.frame = self._labeled_frame
+
+    def __delitem__(self, index) -> None:
+        instance = self[index]
+        super().__delitem__(index)
+        instance.frame = None
+
+    def pop(self, index: int = -1) -> "Instance":
+        instance = super().pop(index)
+        instance.frame = None
+        return instance
+
+    def remove(self, instance: "Instance") -> None:
+        super().remove(instance)
+        instance.frame = None
+
+    def clear(self) -> None:
+        for inst in self:
+            inst.frame = None
+        super().clear()
+
+    def copy(self) -> list:
+        return list(self)
+
+
 class LabeledFrame:
     """All instances labeled/predicted in one video frame.
 
@@ -416,24 +487,23 @@ class LabeledFrame:
     ):
         self.video = video
         self.frame_idx = int(frame_idx)
-        self._instances: List[Instance] = []
+        self._instances = InstancesList(labeled_frame=self)
         if instances:
             for inst in instances:
                 self.insert_instance(inst)
 
     # ------------------------------------------------------------------ #
     @property
-    def instances(self) -> List[Instance]:
+    def instances(self) -> "InstancesList":
         return self._instances
 
     @instances.setter
     def instances(self, value: Iterable[Instance]) -> None:
-        self._instances = []
+        self._instances = InstancesList(labeled_frame=self)
         for inst in value:
             self.insert_instance(inst)
 
     def insert_instance(self, instance: Instance, index: Optional[int] = None) -> None:
-        instance.frame = self
         if index is None:
             self._instances.append(instance)
         else:
@@ -441,7 +511,6 @@ class LabeledFrame:
 
     def remove_instance(self, instance: Instance) -> None:
         self._instances.remove(instance)
-        instance.frame = None
 
     def __len__(self) -> int:
         return len(self._instances)

@@ -70,3 +70,45 @@ def resize_and_pad_to_target(
     pads[-3] = (0, target_height - new_h)
     pads[-2] = (0, target_width - new_w)
     return jnp.pad(resized, pads), scale
+
+
+class PointsRescaler:
+    """Pipeline block that applies or inverts a scale on predicted points.
+
+    Rebuild of ``/root/reference/sleap/nn/data/resizing.py:473``
+    (``PointsRescaler``): follows the example-dict block protocol used by
+    :mod:`sleap_tpu.data.inference` — ``input_keys``/``output_keys`` plus
+    ``transform_dataset(examples)`` yielding updated dicts.
+    """
+
+    def __init__(
+        self,
+        points_key: str = "predicted_instances",
+        scale_key: str = "scale",
+        invert: bool = True,
+    ):
+        self.points_key = points_key
+        self.scale_key = scale_key
+        self.invert = invert
+
+    @property
+    def input_keys(self):
+        return [self.points_key, self.scale_key]
+
+    @property
+    def output_keys(self):
+        return self.input_keys
+
+    def transform_dataset(self, examples):
+        import numpy as np
+
+        from sleap_tpu.data.utils import expand_to_rank
+
+        for ex in examples:
+            points = np.asarray(ex[self.points_key], dtype=np.float32)
+            scale = expand_to_rank(
+                np.asarray(ex[self.scale_key], dtype=np.float32), points.ndim
+            )
+            ex = dict(ex)
+            ex[self.points_key] = points / scale if self.invert else points * scale
+            yield ex
