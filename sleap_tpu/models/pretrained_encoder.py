@@ -424,15 +424,21 @@ class UnetPretrainedEncoder:
 
 
 def load_local_encoder_weights(variables: Dict, npz_path: str) -> Dict:
-    """Merge a local ``.npz`` of named arrays into a flax variables tree."""
+    """Merge a local ``.npz`` of named arrays into a flax variables tree.
+
+    Names are ``/``-joined flax paths WITHOUT the collection prefix; both
+    ``params`` (kernel/bias/scale) and ``batch_stats`` (BatchNorm running
+    mean/var) collections are matched — their leaf names never collide.
+    Produce these files with :mod:`sleap_tpu.models.convert_pretrained`.
+    """
     import flax
 
     arrays = np.load(npz_path)
     flat = flax.traverse_util.flatten_dict(variables)
     n_loaded = 0
     for key, value in list(flat.items()):
-        name = "/".join(str(k) for k in key[1:])  # drop the 'params' collection
-        if key[0] != "params" or name not in arrays.files:
+        name = "/".join(str(k) for k in key[1:])  # drop the collection name
+        if key[0] not in ("params", "batch_stats") or name not in arrays.files:
             continue
         arr = arrays[name]
         if arr.shape != value.shape:
