@@ -494,6 +494,48 @@ def bench_tracking_e2e(n_frames=1024, n_segments=8):
     return result
 
 
+def bench_sharded(batch_per_chip=4, n_iters=8):
+    """shard_map inference on REAL TPU hardware (1-device mesh).
+
+    The CPU-mesh equality tests (tests/test_parallel.py) prove the sharding
+    math; this proves the Pallas kernels compile and execute *under
+    shard_map on an actual TPU* — interpret-mode CPU Pallas does not
+    exercise the Mosaic lowering. Runs the full single-instance pipeline
+    (forward + fused peak finding) through ``sharded_infer_fn`` on a
+    ``Mesh(jax.devices()[:1], ("data", "spatial"))`` and reports FPS plus a
+    finite-output check.
+    """
+    from sleap_tpu.parallel.distributed import sharded_infer_fn
+    from sleap_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices=1)
+    predictor = build_single_instance_predictor(batch=batch_per_chip, input_hw=192)
+    infer = sharded_infer_fn(predictor._build_infer_fn(), mesh)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (batch_per_chip, 192, 192, 1), np.uint8)
+    out = infer(images)  # compile + warmup
+    peaks = np.asarray(out["instance_peaks"])
+    ok = (
+        bool(np.isfinite(np.asarray(out["instance_peak_vals"])).all())
+        and peaks.shape[0] == batch_per_chip
+    )
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = infer(images)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    fps = n_iters * batch_per_chip / elapsed
+    return {
+        "metric": "sharded_infer_tpu_1dev_fps_192",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "pallas_under_shard_map_on_tpu": ok,
+        "mesh": f"{dict(mesh.shape)}",
+        "device": str(jax.devices()[0].platform),
+    }
+
+
 def bench_streaming(n_batches=20, batch=64, inner=4):
     """BASELINE config 4: streaming video inference — pipeline vs blocking.
 
@@ -513,8 +555,10 @@ def bench_streaming(n_batches=20, batch=64, inner=4):
     has multi-hundred-ms latency spikes, so per-batch sync costs dominate
     the blocking loop exactly as they would any naive production loop; the
     interleaved-median ratio is the meaningful, hardware-independent
-    measurement (absolute streamed FPS is tunnel-bound). Observed spread
-    over single pairs: 1.06-2.06x; interleaved medians land ~1.6x.
+    measurement (absolute streamed FPS is tunnel-bound). The payload
+    carries the per-pass times and the pure-decode floor so a bad tunnel
+    stretch is diagnosable from the artifact itself (round 3 recorded a
+    0.874 with none of this context; same code re-run measured 1.1-1.9).
     """
     from sleap_tpu.data.prefetch import prefetch
     from sleap_tpu.data.streaming import stage_to_device
@@ -578,29 +622,37 @@ def bench_streaming(n_batches=20, batch=64, inner=4):
             float(r)
         return time.perf_counter() - t0
 
+    # Pure-decode floor: the streamed loop can never beat this (decode is
+    # the serial host stage the pipeline hides everything else under).
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        decode_batch(b)
+    decode_floor = time.perf_counter() - t0
+
     # Interleave reps so tunnel-latency drift hits both paths equally.
-    reps = 3
+    reps = 5
     naives, stageds = [], []
     for _ in range(reps):
         naives.append(run_blocking())
         stageds.append(run_streamed())
     speedup = float(np.median(naives) / np.median(stageds))
+    pair_ratios = sorted(n / s for n, s in zip(naives, stageds))
     return {
         "metric": "streaming_pipeline_speedup",
         "value": round(speedup, 3),
         "unit": "x (blocking/streamed)",
         "vs_baseline": round(speedup, 3),
+        "pair_ratios": [round(r, 3) for r in pair_ratios],
+        "blocking_s": [round(t, 2) for t in naives],
+        "streamed_s": [round(t, 2) for t in stageds],
+        "decode_floor_s": round(decode_floor, 2),
     }
 
 
-def bench_train(batch=16, n_iters=20):
-    """Training throughput: the REAL TopdownConfmapsTrainer train step
-    (on-chip augmentation + instance cropping + GT confmap codec + forward +
-    backward + Adam) at the flagship config, images/s. Reference baseline:
-    "15 to 60 mins on a single GPU for a typical dataset"
-    (/root/reference/README.rst:54) — e.g. 1500 labels x 200 epochs in 30 min
-    ~= 170 img/s as a representative midpoint.
-    """
+def _train_throughput(head, batch, n_iters=20):
+    """images/s of the REAL train step (on-chip augmentation + GT codec +
+    forward + backward + Adam) for the given head type at the flagship
+    UNet config on 1024² frames."""
     import optax
 
     from sleap_tpu import config as cfgm
@@ -637,9 +689,24 @@ def bench_train(batch=16, n_iters=20):
         max_stride=16, output_stride=4, filters=64, filters_rate=2.0,
         up_interpolate=True, space_to_depth=4,
     )
-    c.model.heads.centered_instance = cfgm.CenteredInstanceConfmapsHeadConfig(
-        part_names=[f"n{i}" for i in range(N_NODES)], output_stride=4, sigma=2.5,
-    )
+    if head == "topdown":
+        c.model.heads.centered_instance = cfgm.CenteredInstanceConfmapsHeadConfig(
+            part_names=[f"n{i}" for i in range(N_NODES)], output_stride=4,
+            sigma=2.5,
+        )
+    elif head == "bottomup":
+        c.model.heads.multi_instance = cfgm.MultiInstanceConfig(
+            confmaps=cfgm.MultiInstanceConfmapsHeadConfig(
+                part_names=[f"n{i}" for i in range(N_NODES)], output_stride=4,
+                sigma=2.5,
+            ),
+            pafs=cfgm.PartAffinityFieldsHeadConfig(
+                edges=[[f"n{i}", f"n{i + 1}"] for i in range(N_NODES - 1)],
+                output_stride=8, sigma=5.0,
+            ),
+        )
+    else:
+        raise ValueError(head)
     c.data.preprocessing.pad_to_stride = 16
     c.data.instance_cropping.crop_size = CROP
     c.optimization.batch_size = batch
@@ -666,16 +733,13 @@ def bench_train(batch=16, n_iters=20):
             k2, (batch, 3, N_NODES, 2), jnp.float32, 100, IMG - 100
         )
         track_inds = jnp.zeros((batch, 3), jnp.int32)
-        ctr_ind = jax.random.randint(k3, (batch,), 0, 3)
+        b0 = {"image": images, "instances": instances, "track_inds": track_inds}
+        if head == "topdown":
+            b0["ctr_ind"] = jax.random.randint(k3, (batch,), 0, 3)
 
         def body(i, carry):
             params, opt_state, images, acc = carry
-            b = {
-                "image": images,
-                "instances": instances,
-                "track_inds": track_inds,
-                "ctr_ind": ctr_ind,
-            }
+            b = dict(b0, image=images)
             params, _, opt_state, loss = step(
                 params, batch_stats, opt_state, b, jax.random.fold_in(key, i)
             )
@@ -689,12 +753,32 @@ def bench_train(batch=16, n_iters=20):
         return acc
 
     fps, _ = _run_loop(bench_loop, n_iters * batch)
-    return {
-        "metric": f"train_topdown_images_per_s_batch{batch}",
-        "value": round(fps, 2),
-        "unit": "images/s",
-        "vs_baseline": round(fps / 170.0, 3),
-    }
+    return fps
+
+
+def bench_train(batch=16, n_iters=20):
+    """Training throughput: per-head images/s + a topdown batch sweep.
+
+    Reference baseline: "15 to 60 mins on a single GPU for a typical
+    dataset" (/root/reference/README.rst:54). vs_baseline uses the 30-min
+    midpoint on the flies13-scale dataset the bench models (1024² frames,
+    13 nodes): 1500 labels x 200 epochs / 30 min ~= 170 img/s.
+    ``minutes_1500x200`` translates each measured rate into
+    minutes-per-that-dataset so the number maps directly onto the
+    reference's claim.
+    """
+    results = []
+    for head, batches in (("topdown", (16, 32, 64)), ("bottomup", (16,))):
+        for b in batches:
+            fps = _train_throughput(head, b, n_iters)
+            results.append({
+                "metric": f"train_{head}_images_per_s_batch{b}",
+                "value": round(fps, 2),
+                "unit": "images/s",
+                "vs_baseline": round(fps / 170.0, 3),
+                "minutes_1500x200": round(1500 * 200 / fps / 60.0, 2),
+            })
+    return results
 
 
 def main():
@@ -707,16 +791,19 @@ def main():
         "tracking": bench_tracking_e2e,
         "train": bench_train,
         "streaming": bench_streaming,
+        "sharded": bench_sharded,
     }
     order = (
         ["topdown", "bottomup", "latency", "single", "tracking", "train",
-         "streaming"]
+         "streaming", "sharded"]
         if which == "all"
         else [which]
     )
     for name in order:
         try:
-            print(json.dumps(benches[name]()), flush=True)
+            result = benches[name]()
+            for row in result if isinstance(result, list) else [result]:
+                print(json.dumps(row), flush=True)
         except Exception as e:  # one failing config must not hide the rest
             print(
                 json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"}),

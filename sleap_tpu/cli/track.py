@@ -93,46 +93,117 @@ def parse_frames(frames: str) -> Optional[List[int]]:
     return out
 
 
+def _read_csv_paths(path: str):
+    """CSV input: find the data-path column + optional output column.
+
+    Mirrors the reference (inference.py:5380-5410): the data column is the
+    first column whose FIRST data-row value is an existing path; the column
+    right after it (if present and string-valued) holds per-file output
+    paths. Empty file or no valid column -> ValueError.
+    """
+    import csv as csvlib
+
+    with open(path, newline="") as f:
+        rows = [r for r in csvlib.reader(f) if r]
+    if len(rows) < 2:
+        raise ValueError(f"CSV file is empty: {path}")
+    header, data_rows = rows[0], rows[1:]
+    col = None
+    for ci, cell in enumerate(data_rows[0]):
+        if cell and os.path.exists(cell):
+            col = ci
+            break
+    if col is None:
+        raise ValueError(
+            "Column containing valid data_paths does not exist in the CSV "
+            f"file: {path}"
+        )
+    data_paths = [r[col] for r in data_rows]
+    out_col = col + 1
+    output_paths = None
+    if all(len(r) > out_col and r[out_col] for r in data_rows):
+        output_paths = [r[out_col] for r in data_rows]
+    return data_paths, output_paths
+
+
 def make_provider_from_cli(ns):
-    """Path sniffing -> provider (reference inference.py:5347)."""
+    """Path sniffing -> (provider_list, data_path_list, output_path_list)
+    (reference inference.py:5347)."""
     from sleap_tpu.core.labels import Labels
     from sleap_tpu.data.providers import LabelsReader, VideoReader
-    from sleap_tpu.io.video import Video
 
     path = ns.data_path
     frames = parse_frames(ns.frames)
-    if path.endswith(".slp"):
-        labels = Labels.load_file(path)
-        if ns.only_labeled_frames:
-            inds = [
-                i for i, lf in enumerate(labels.labeled_frames) if lf.has_user_instances
-            ]
-            return LabelsReader(labels=labels, example_indices=inds), labels
-        if ns.only_suggested_frames:
-            return LabelsReader.from_unlabeled_suggestions(labels), labels
-        if frames is not None and labels.video is not None:
-            return VideoReader(video=labels.video, example_indices=frames), labels
-        return LabelsReader(labels=labels), labels
-    if os.path.isdir(path):
-        import glob
-
-        images = sorted(
-            sum((glob.glob(os.path.join(path, f"*.{ext}")) for ext in ("png", "jpg", "jpeg")), [])
+    if not path:
+        raise ValueError(
+            "You must specify a path to a video or a labels dataset. "
+            "Run 'sleap-track -h' to see full command documentation."
         )
-        video = Video.from_image_filenames(images)
-        return VideoReader(video=video, example_indices=frames), None
-    if path.endswith((".csv", ".txt")):
-        with open(path) as f:
-            paths = [line.strip() for line in f if line.strip()]
-        # Return the first; multi-file prediction loops in main().
-        return [
-            (VideoReader.from_filepath(p, example_indices=frames), None) for p in paths
-        ], None
-    kwargs = {}
-    if ns.video_dataset:
-        kwargs["dataset"] = ns.video_dataset
-    video = Video.from_filename(path, **kwargs)
-    return VideoReader(video=video, example_indices=frames), None
+    if not os.path.exists(path):
+        raise ValueError("Path to data_path does not exist")
+
+    output_path_list = None
+    if os.path.isfile(path):
+        if path.lower().endswith(".csv"):
+            raw_paths, output_path_list = _read_csv_paths(path)
+        elif path.lower().endswith(".txt"):
+            with open(path) as f:
+                raw_paths = [line.strip() for line in f if line.strip()]
+        else:
+            raw_paths = [path]
+    else:  # directory: every file in it (reference iterdir)
+        raw_paths = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n))
+        )
+
+    provider_list, data_path_list = [], []
+    for file_path in raw_paths:
+        if file_path.endswith(".slp") and len(raw_paths) > 1:
+            print(f"slp file skipped: {file_path}")
+            continue
+        if file_path.endswith(".slp"):
+            labels = Labels.load_file(file_path)
+            if ns.only_labeled_frames:
+                inds = [
+                    i
+                    for i, lf in enumerate(labels.labeled_frames)
+                    if lf.has_user_instances
+                ]
+                provider_list.append(LabelsReader(labels=labels, example_indices=inds))
+            elif ns.only_suggested_frames:
+                provider_list.append(LabelsReader.from_unlabeled_suggestions(labels))
+            elif ns.video_index != "":
+                provider_list.append(
+                    VideoReader(
+                        video=labels.videos[int(ns.video_index)],
+                        example_indices=frames,
+                    )
+                )
+            elif frames is not None and labels.video is not None:
+                provider_list.append(
+                    VideoReader(video=labels.video, example_indices=frames)
+                )
+            else:
+                provider_list.append(LabelsReader(labels=labels))
+            data_path_list.append(file_path)
+        else:
+            try:
+                kwargs = {}
+                if ns.video_dataset:
+                    kwargs["dataset"] = ns.video_dataset
+                if ns.video_input_format:
+                    kwargs["input_format"] = ns.video_input_format
+                provider_list.append(
+                    VideoReader.from_filepath(
+                        file_path, example_indices=frames, **kwargs
+                    )
+                )
+                data_path_list.append(file_path)
+            except Exception:
+                print(f"Error reading file: {file_path}")
+    return provider_list, data_path_list, output_path_list
 
 
 def make_predictor_from_cli(ns):
@@ -190,43 +261,129 @@ def make_tracker_from_cli(ns):
     )
 
 
+def _default_output(data_path: str) -> str:
+    """``x/y.mp4`` -> ``x/y.predictions.slp`` (reference with_suffix rule)."""
+    root, _ext = os.path.splitext(data_path)
+    return root + ".predictions.slp"
+
+
 def main(args: Optional[List[str]] = None) -> None:
+    """Reference main (inference.py:5555): multi-input loop, output-path
+    rules, tracking-only mode for existing predictions."""
+    import sys
+    import time as time_mod
+    from datetime import datetime
+
     logging.basicConfig(level=logging.INFO)
+    t0 = time_mod.time()
+    start_timestamp = str(datetime.now())
     ns = make_parser().parse_args(args)
     if ns.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    provider, _ = make_provider_from_cli(ns)
-    predictor = make_predictor_from_cli(ns)
-    if ns.n_devices and ns.n_devices > 1:
-        from sleap_tpu.parallel.distributed import make_sharded_predictor
-        from sleap_tpu.parallel.mesh import make_mesh
+    provider_list, data_path_list, output_path_list = make_provider_from_cli(ns)
 
-        predictor = make_sharded_predictor(
-            predictor, make_mesh(n_devices=ns.n_devices)
+    output_path = None
+    if output_path_list is None and ns.output is not None:
+        output_path = ns.output
+        if os.path.isfile(output_path) and len(data_path_list) > 1:
+            raise ValueError(
+                "output_path argument must be a directory if multiple video "
+                "inputs are given"
+            )
+
+    tracker = make_tracker_from_cli(ns)
+
+    def base_provenance(labels_pr, data_path, out):
+        import platform
+
+        from sleap_tpu.version import __version__
+
+        labels_pr.provenance.update(
+            {
+                "sleap_version": __version__,
+                "platform": platform.platform(),
+                "command": " ".join(sys.argv),
+                "data_path": data_path,
+                "output_path": str(out),
+                "total_elapsed": time_mod.time() - t0,
+                "start_timestamp": start_timestamp,
+                "finish_timestamp": str(datetime.now()),
+            }
         )
-    predictor.tracker = make_tracker_from_cli(ns)
 
-    labels_pr = predictor.predict(provider)
-    if ns.no_empty_frames:
-        labels_pr.remove_empty_frames()
+    if ns.models is not None:
+        for i, (data_path, provider) in enumerate(
+            zip(data_path_list, provider_list)
+        ):
+            predictor = make_predictor_from_cli(ns)
+            if ns.n_devices and ns.n_devices > 1:
+                from sleap_tpu.parallel.distributed import make_sharded_predictor
+                from sleap_tpu.parallel.mesh import make_mesh
 
-    output = ns.output
-    if output is None:
-        base = ns.data_path or "predictions"
-        output = base + ".predictions.slp"
-    labels_pr.provenance.update(
-        {
-            "model_paths": ns.models,
-            "data_path": ns.data_path,
-            "output_path": output,
-        }
-    )
-    labels_pr.save(output)
-    if ns.verbosity != "none":
-        print(f"\nSaved {len(labels_pr)} frames to {output}")
+                predictor = make_sharded_predictor(
+                    predictor, make_mesh(n_devices=ns.n_devices)
+                )
+            predictor.tracker = tracker
+            labels_pr = predictor.predict(provider)
+
+            if output_path is None:
+                out = (
+                    output_path_list[i]
+                    if output_path_list
+                    else _default_output(data_path)
+                )
+            elif len(data_path_list) > 1:
+                # -o names a directory when there are multiple inputs.
+                out = os.path.join(
+                    output_path, os.path.basename(_default_output(data_path))
+                )
+                os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            else:
+                out = output_path
+
+            if ns.no_empty_frames:
+                labels_pr.remove_empty_frames()
+            labels_pr.provenance["model_paths"] = ns.models
+            labels_pr.provenance["predictor"] = type(predictor).__name__
+            base_provenance(labels_pr, data_path, out)
+            labels_pr.provenance["args"] = {
+                k: v for k, v in vars(ns).items() if not callable(v)
+            }
+            try:
+                labels_pr.save(out)
+            except Exception:
+                print("WARNING: Provided output path invalid.")
+                out = _default_output(data_path)
+                labels_pr.save(out)
+            if ns.verbosity != "none":
+                print(f"\nSaved {len(labels_pr)} frames to {out}")
+            output_path = ns.output  # reset for the next input
+    elif ns.tracking_tracker is not None:
+        # Tracking-only on an existing predictions file (reference :5712).
+        from sleap_tpu.core.labels import Labels
+        from sleap_tpu.tracking.tracker import run_tracker
+
+        data_path = ns.data_path
+        labels_pr = Labels.load_file(data_path)
+        frames = sorted(labels_pr.labeled_frames, key=lambda lf: lf.frame_idx)
+        frames = run_tracker(frames=frames, tracker=tracker)
+        tracker.final_pass(frames)
+        labels_pr = Labels(labeled_frames=frames)
+        out = output_path or f"{data_path}.{tracker.get_name()}.slp"
+        if ns.no_empty_frames:
+            labels_pr.remove_empty_frames()
+        base_provenance(labels_pr, data_path, out)
+        labels_pr.save(out)
+        if ns.verbosity != "none":
+            print(f"\nSaved {len(labels_pr)} frames to {out}")
+    else:
+        raise ValueError(
+            "You must specify at least one model (-m) or a tracker "
+            "(--tracking.tracker) to run."
+        )
 
 
 if __name__ == "__main__":

@@ -194,6 +194,14 @@ def block_upsampling_stride(blk: tuple) -> int:
 # Folded space-to-depth stem
 # --------------------------------------------------------------------------- #
 
+#: Fused upsample+skip+conv (:class:`_FusedUpSplitConv`) applies when the
+#: pre-upsample spatial size is in [FUSED_UP_MIN, FUSED_UP_MAX). Measured on
+#: the v5e (bottom-up @1024², batch 256): small crop-model maps (<64²) lose
+#: ~8% to the border-strip recompute, so the lower gate; the upper gate is a
+#: tuning knob for per-level A/Bs (None = no upper bound).
+FUSED_UP_MIN = 64
+FUSED_UP_MAX = None
+
 #: When True (and ``EncoderDecoderNet.fold_s2d_stem`` is unset), the s2d stem
 #: map is never materialized: every 3x3 SAME conv that consumes it is applied
 #: as an equivalent (3f)x(3f) stride-f conv on the raw image instead, so the
@@ -708,7 +716,11 @@ class EncoderDecoderNet(nn.Module):
                     and not skip_add
                     and n_refine > 0
                     and r_ksize == 3  # fused_up2_conv composes 3-tap kernels
-                    and min(x.shape[1], x.shape[2]) >= 64
+                    and min(x.shape[1], x.shape[2]) >= FUSED_UP_MIN
+                    and (
+                        FUSED_UP_MAX is None
+                        or min(x.shape[1], x.shape[2]) < FUSED_UP_MAX
+                    )
                 ):
                     filters0 = r_first if r_first is not None else r_filters
                     x = _FusedUpSplitConv(
