@@ -533,6 +533,9 @@ def bench_sharded(batch_per_chip=4, n_iters=8):
         "pallas_under_shard_map_on_tpu": ok,
         "mesh": f"{dict(mesh.shape)}",
         "device": str(jax.devices()[0].platform),
+        "note": "per-call host sync over the device tunnel dominates this "
+        "FPS; the metric's point is the pallas_under_shard_map_on_tpu proof "
+        "(headline throughput configs use the chained on-device loop)",
     }
 
 

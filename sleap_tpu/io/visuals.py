@@ -37,9 +37,43 @@ def _color_for(labels: Labels, inst, fallback_idx: int) -> Tuple[int, int, int]:
     return _PALETTE[fallback_idx % len(_PALETTE)]
 
 
+#: Solid-background fills (reference visuals.py:77 ``fill_values``).
+_BACKGROUND_FILLS = {"black": 0, "grey": 127, "white": 255}
+
+
+def apply_background(images: np.ndarray, background: str) -> np.ndarray:
+    """Replace frame pixels with a solid fill (reference visuals.py:75-84)."""
+    background = background.lower()
+    if background == "original":
+        return images
+    if background not in _BACKGROUND_FILLS:
+        raise ValueError(
+            f"Invalid background color: {background}. Options include: "
+            f"{', '.join(_BACKGROUND_FILLS)}"
+        )
+    return images * 0 + _BACKGROUND_FILLS[background]
+
+
+def resize_image(img: np.ndarray, scale: float) -> np.ndarray:
+    """cv2 resize with the reference's int-truncated sizing (visuals.py:620)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    new_w, new_h = int(w * scale), int(h * scale)
+    if img.ndim == 3 and img.shape[-1] == 1:
+        return cv2.resize(img[:, :], (new_w, new_h))[..., None]
+    return cv2.resize(img, (new_w, new_h))
+
+
+def resize_images(images: np.ndarray, scale: float) -> np.ndarray:
+    """Batch resize (reference visuals.py:647)."""
+    return np.stack([resize_image(img, scale) for img in images])
+
+
 def render_frame(
     labels: Labels, img: np.ndarray, frame_idx: int, video=None,
     marker_size: int = 4, line_width: int = 2, scale: float = 1.0,
+    show_edges: bool = True, offset_xy: Tuple[float, float] = (0.0, 0.0),
 ) -> np.ndarray:
     """Draw one frame's instances on an image (BGR uint8)."""
     import cv2
@@ -55,18 +89,19 @@ def render_frame(
         return img
     for k, inst in enumerate(lf.instances):
         color = _color_for(labels, inst, k)
-        pts = inst.numpy() * scale
-        for src, dst in inst.skeleton.edge_inds:
-            p1, p2 = pts[src], pts[dst]
-            if np.isnan(p1).any() or np.isnan(p2).any():
-                continue
-            cv2.line(
-                img,
-                (int(round(p1[0])), int(round(p1[1]))),
-                (int(round(p2[0])), int(round(p2[1]))),
-                color,
-                line_width,
-            )
+        pts = inst.numpy() * scale - np.asarray(offset_xy, np.float64)
+        if show_edges:
+            for src, dst in inst.skeleton.edge_inds:
+                p1, p2 = pts[src], pts[dst]
+                if np.isnan(p1).any() or np.isnan(p2).any():
+                    continue
+                cv2.line(
+                    img,
+                    (int(round(p1[0])), int(round(p1[1]))),
+                    (int(round(p2[0])), int(round(p2[1]))),
+                    color,
+                    line_width,
+                )
         for p in pts:
             if np.isnan(p).any():
                 continue
@@ -83,11 +118,19 @@ def save_labeled_video(
     frames: Optional[List[int]] = None,
     fps: float = 15.0,
     scale: float = 1.0,
+    crop_size_xy: Optional[Tuple[int, int]] = None,
+    background: str = "original",
     marker_size: int = 4,
     show_edges: bool = True,
 ) -> None:
-    """Render an annotated video (reference visuals.py:510 ``save_labeled_video``)."""
-    import cv2
+    """Render an annotated video (reference visuals.py:510 ``save_labeled_video``).
+
+    ``crop_size_xy`` crops each output frame around the instances' centroid,
+    smoothed with a 5-frame running average (reference VideoMarkerThread
+    ``_crop_centers`` deque, visuals.py:235-242). ``background`` replaces
+    pixels with a solid fill: original | black | grey | white.
+    """
+    from collections import deque
 
     video = video or labels.video
     if frames is None:
@@ -96,18 +139,48 @@ def save_labeled_video(
         raise ValueError("No frames to render.")
     h = int(video.height * scale)
     w = int(video.width * scale)
-    writer = VideoWriter.safe_builder(filename, height=h, width=w, fps=fps)
+    if crop_size_xy:
+        out_w, out_h = int(crop_size_xy[0]), int(crop_size_xy[1])
+    else:
+        out_w, out_h = w, h
+    writer = VideoWriter.safe_builder(filename, height=out_h, width=out_w, fps=fps)
+    crop_centers: deque = deque(maxlen=5)
     for fi in frames:
         try:
             img = video.get_frame(fi)
         except Exception:
             continue
+        img = apply_background(img, background)
         if scale != 1.0:
-            img = cv2.resize(img, (w, h))
+            img = resize_image(img, scale)
+        offset_xy = (0.0, 0.0)
+        if crop_size_xy:
+            lf = labels.find_first(video, fi)
+            if lf is not None and len(lf.instances):
+                pts = np.concatenate([inst.numpy() for inst in lf.instances])
+                center = np.nanmean(pts, axis=0) * scale
+                if np.isfinite(center).all():
+                    crop_centers.append(center)
+            cx, cy = (
+                np.mean(crop_centers, axis=0)
+                if crop_centers
+                else (w / 2.0, h / 2.0)
+            )
+            x0 = int(np.clip(round(cx - out_w / 2), 0, max(w - out_w, 0)))
+            y0 = int(np.clip(round(cy - out_h / 2), 0, max(h - out_h, 0)))
             if img.ndim == 2:
                 img = img[..., None]
+            img = img[y0 : y0 + out_h, x0 : x0 + out_w]
+            # Pad if the video is smaller than the crop.
+            if img.shape[0] < out_h or img.shape[1] < out_w:
+                img = np.pad(
+                    img,
+                    ((0, out_h - img.shape[0]), (0, out_w - img.shape[1]), (0, 0)),
+                )
+            offset_xy = (float(x0), float(y0))
         out = render_frame(
-            labels, img, fi, video=video, marker_size=marker_size, scale=scale
+            labels, img, fi, video=video, marker_size=marker_size, scale=scale,
+            show_edges=show_edges, offset_xy=offset_xy,
         )
         writer.add_frame(out, bgr=True)
     writer.close()
@@ -125,6 +198,14 @@ def main(args=None) -> None:
     parser.add_argument("--frames", default="", help="e.g. 0-100 or 3,5,7")
     parser.add_argument("--video-index", type=int, default=0)
     parser.add_argument("--marker_size", type=int, default=4)
+    parser.add_argument(
+        "--background", default="original",
+        help="original | black | grey | white (reference visuals.py:719)",
+    )
+    parser.add_argument(
+        "--crop", default="",
+        help="crop size around instances as WIDTH,HEIGHT (empty = full frame)",
+    )
     ns = parser.parse_args(args)
 
     labels = Labels.load_file(ns.data_path)
@@ -138,6 +219,10 @@ def main(args=None) -> None:
             elif part:
                 frames.append(int(part))
     out = ns.output or (ns.data_path + ".avi.mp4")
+    crop_size_xy = None
+    if ns.crop:
+        cw, ch = ns.crop.split(",")
+        crop_size_xy = (int(cw), int(ch))
     save_labeled_video(
         out,
         labels,
@@ -145,6 +230,8 @@ def main(args=None) -> None:
         frames=frames,
         fps=ns.fps,
         scale=ns.scale,
+        crop_size_xy=crop_size_xy,
+        background=ns.background,
         marker_size=ns.marker_size,
     )
     print(f"Saved: {out}")
