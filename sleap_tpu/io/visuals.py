@@ -218,7 +218,9 @@ def main(args=None) -> None:
                 frames.extend(range(int(a), int(b) + 1))
             elif part:
                 frames.append(int(part))
-    out = ns.output or (ns.data_path + ".avi.mp4")
+    # Reference default naming (visuals.py:743): <data_path>.avi. The
+    # OpenCV/imageio writer picks the codec from the extension.
+    out = ns.output or (ns.data_path + ".avi")
     crop_size_xy = None
     if ns.crop:
         cw, ch = ns.crop.split(",")
