@@ -34,13 +34,16 @@ def model_args():
 
 @pytest.fixture
 def preds_slp(tmp_path):
-    """A predictions .slp whose video resolves (fixture re-saved to tmp)."""
+    """A predictions .slp whose video resolves (fixture re-saved to tmp),
+    trimmed to 20 frames so flow retracking stays fast on CPU."""
     import sleap_tpu
+    from sleap_tpu.core.labels import Labels
 
     src = _require("/root/reference/tests/data/tracks/clip.predictions.slp")
     labels = sleap_tpu.load_file(src)
+    frames = sorted(labels.labeled_frames, key=lambda lf: lf.frame_idx)[:20]
     out = str(tmp_path / "old_slp.slp")
-    labels.save(out)
+    Labels(labeled_frames=frames).save(out)
     return out
 
 
@@ -223,6 +226,47 @@ def test_sleap_track_text_file_input(model_args, tmp_path):
     )
     for p in paths:
         assert p.with_suffix(".predictions.slp").exists()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("tracker_method", ["simple", "flow", "simplemaxtracks",
+                                            "flowmaxtracks"])
+@pytest.mark.parametrize("output_path", [None, "not_default"])
+def test_retracking_via_sleap_track(preds_slp, tmp_path, tracker_method,
+                                    output_path):
+    # Reference :1418 — retracking an existing predictions file through the
+    # sleap-track CLI across tracker methods and output naming.
+    import sleap_tpu
+    from sleap_tpu.cli.track import make_parser, make_tracker_from_cli
+
+    cmd = (
+        f"{preds_slp} --tracking.tracker {tracker_method} "
+        "--tracking.similarity object_keypoint --cpu --verbosity none"
+    )
+    if tracker_method == "flow":
+        cmd += " --tracking.save_shifted_instances 1"
+    elif tracker_method in ("simplemaxtracks", "flowmaxtracks"):
+        cmd += " --tracking.max_tracking 1 --tracking.max_tracks 2"
+    if output_path == "not_default":
+        output_path = str(tmp_path / f"tracked_{tracker_method}.slp")
+        cmd += f" --output {output_path}"
+    args = cmd.split()
+    _track(args)
+
+    if output_path is None:
+        ns = make_parser().parse_args(args)
+        tracker = make_tracker_from_cli(ns)
+        assert (
+            tracker.similarity_function.__name__ == "object_keypoint_similarity"
+        )
+        output_path = f"{preds_slp}.{tracker.get_name()}.slp"
+    assert os.path.exists(output_path)
+    new_labels = sleap_tpu.load_file(output_path)
+    assert any(
+        inst.track is not None
+        for lf in new_labels.labeled_frames
+        for inst in lf.predicted_instances
+    )
 
 
 @pytest.mark.slow
