@@ -164,3 +164,32 @@ def test_get_edge_points():
     assert src.shape == (2, 2, 2)
     np.testing.assert_array_equal(src[0, 0], instances[0, 0])
     np.testing.assert_array_equal(dst[0, 1], instances[0, 2])
+
+
+def test_make_confmaps_reference_exact_values():
+    """Hardcoded oracle from the reference suite
+    (/root/reference/tests/nn/data/test_confidence_maps.py:21)."""
+    xv, yv = make_grid_vectors(4, 5, output_stride=1)
+    points = jnp.asarray([[0.5, 1.0], [3, 3.5], [2.0, 2.0]], jnp.float32)
+    cm = np.asarray(make_confmaps(points, xv, yv, sigma=1.0))
+    assert cm.shape == (4, 5, 3)
+    np.testing.assert_allclose(
+        cm,
+        [
+            [[0.535, 0.0, 0.018], [0.535, 0.0, 0.082], [0.197, 0.001, 0.135],
+             [0.027, 0.002, 0.082], [0.001, 0.001, 0.018]],
+            [[0.882, 0.0, 0.082], [0.882, 0.006, 0.368], [0.325, 0.027, 0.607],
+             [0.044, 0.044, 0.368], [0.002, 0.027, 0.082]],
+            [[0.535, 0.004, 0.135], [0.535, 0.044, 0.607], [0.197, 0.197, 1.0],
+             [0.027, 0.325, 0.607], [0.001, 0.197, 0.135]],
+            [[0.119, 0.01, 0.082], [0.119, 0.119, 0.368], [0.044, 0.535, 0.607],
+             [0.006, 0.882, 0.368], [0.0, 0.535, 0.082]],
+        ],
+        atol=1e-3,
+    )
+
+    # Grid-aligned peak reaches exactly 1.0; stride-2 grid places it right.
+    xv, yv = make_grid_vectors(8, 8, output_stride=2)
+    cm = np.asarray(make_confmaps(jnp.asarray([[2.0, 4.0]]), xv, yv, sigma=1.0))
+    assert cm.shape == (4, 4, 1)
+    assert cm[2, 1, 0] == 1.0
