@@ -303,10 +303,12 @@ def bench_tracking_e2e(n_frames=1024, n_segments=8):
     """
     from sleap_tpu.ops.optical_flow import lk_flow
 
-    CHUNK = 64  # frames per scan iteration: batch the UNet + LK, and amortize
+    CHUNK = 128  # frames per scan iteration: batch the UNet + LK, and amortize
     # the ~1 ms/iteration fixed fori_loop overhead of this runtime.
-    # Round-2 sweep @32-max: 16 -> 862, 32 -> 896. Round 4: 64 and 128
-    # segments-of-128 measured; see commit message for the winner.
+    # Sweep: 16 -> 862, 32 -> 896 (round 2), 64 -> 904 (round 3 fix),
+    # 128 -> 1274 FPS (round 4) — the bigger device batch rides the same
+    # bottom-up batch-efficiency curve as the headline config while the
+    # host tracker (0.37 ms/frame) still hides under device time.
     seg_frames = n_frames // n_segments
     assert seg_frames % CHUNK == 0, "segment size must be a CHUNK multiple"
     # Thresholds at the floor so the synthetic-weight net ALWAYS yields
