@@ -145,3 +145,66 @@ def test_deepposekit_import(tmp_path, centered_pair_video):
     lf = labels[2]
     xs = sorted(inst.numpy()[0, 0] for inst in lf.instances)
     assert xs == [2.0, 12.0]
+
+
+@pytest.mark.parametrize("format", ["analysis", "analysis.csv"])
+def test_sleap_convert_analysis_per_video(minimal_slp, tmp_path, format):
+    """Port of /root/reference/tests/io/test_convert.py:12 — per-video
+    analysis exports: default filenames follow the reference scheme, one
+    file per video WITH labeled frames, none for empty videos, repeatable
+    -o overrides."""
+    import numpy as np
+
+    import sleap_tpu
+    from sleap_tpu.io.convert import default_analysis_filename, main as sleap_convert
+    from sleap_tpu.io.video import Video
+
+    suffix = "csv" if "csv" in format else "h5"
+    labels = sleap_tpu.load_file(minimal_slp)
+    slp_path = str(tmp_path / "proj.slp")
+    labels.save(slp_path)
+    labels = sleap_tpu.load_file(slp_path)
+
+    # Default naming: <prefix>.<idx:03>_<video_stem>.analysis.<suffix>.
+    sleap_convert([f"--format", format, slp_path])
+    want = default_analysis_filename(
+        labels, labels.videos[0], str(tmp_path), "proj", suffix
+    )
+    assert os.path.exists(want)
+    assert f".000_" in os.path.basename(want)
+
+    # Explicit output path wins.
+    out = str(tmp_path / f"prefix.{suffix}")
+    sleap_convert(["--format", format, "-o", out, slp_path])
+    assert os.path.exists(out)
+
+    # Add a second video with NO labeled frames: it must produce NO file.
+    rng = np.random.default_rng(0)
+    labels.add_video(Video.from_numpy(rng.integers(0, 255, (2, 16, 16, 1), np.uint8)))
+    slp2 = str(tmp_path / "two_vids.slp")
+    labels.save(slp2)
+    labels2 = sleap_tpu.load_file(slp2)
+    sleap_convert(["--format", format, slp2])
+    out0 = default_analysis_filename(
+        labels2, labels2.videos[0], str(tmp_path), "two_vids", suffix
+    )
+    out1 = default_analysis_filename(
+        labels2, labels2.videos[1], str(tmp_path), "two_vids", suffix
+    )
+    assert os.path.exists(out0)
+    assert not os.path.exists(out1)
+
+
+def test_sleap_convert_dataset_default_naming(minimal_slp, tmp_path):
+    """Reference :109 — --format slp/h5/json default output is
+    <input>.<format>."""
+    import sleap_tpu
+    from sleap_tpu.io.convert import main as sleap_convert
+
+    labels = sleap_tpu.load_file(minimal_slp)
+    slp_path = str(tmp_path / "ds.slp")
+    labels.save(slp_path)
+    sleap_convert(["--format", "slp", slp_path])
+    assert os.path.exists(slp_path + ".slp")
+    reloaded = sleap_tpu.load_file(slp_path + ".slp")
+    assert len(reloaded) == len(labels)
