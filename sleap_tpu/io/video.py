@@ -557,10 +557,12 @@ class Video:
         return out_idxs, (np.stack(frames, axis=0) if frames else None)
 
     def __getitem__(self, idxs):
+        # Always rank-4, scalar index included — reference semantics
+        # (video.py:1152; ``video[0].shape == (1, H, W, C)``).
         if isinstance(idxs, slice):
             start, stop, step = idxs.indices(self.num_frames)
-            return self.get_frames(list(range(start, stop, step)))
-        return self.get_frame(idxs)
+            idxs = list(range(start, stop, step))
+        return self.get_frames(idxs)
 
     @property
     def is_missing(self) -> bool:

@@ -141,3 +141,74 @@ def test_hdf5_embedded_package_roundtrip(min_labels, tmp_path):
     img = lf.image
     assert img is not None and img.ndim == 3
     assert loaded.video.backend.has_embedded_images
+
+
+def test_mp4_facade_properties(centered_pair_video):
+    # Reference test_mp4_{fps,len,dtype,get_shape,get_item} (:84-114).
+    video = Video.from_filename(centered_pair_video, grayscale=True)
+    assert video.fps > 0
+    assert video.num_frames == len(video)
+    assert video.dtype == np.uint8
+    assert video.shape == (video.num_frames, video.height, video.width, 1)
+
+    frame = video.get_frame(0)
+    frames = video.get_frames([0, 1])
+    assert frames.shape == (2, *frame.shape)
+    np.testing.assert_array_equal(frames[0], frame)
+
+    # __getitem__: always rank-4, scalar included (reference video.py:1152).
+    sl = video[:2]
+    np.testing.assert_array_equal(sl, frames)
+    one = video[1]
+    assert one.shape == (1, video.height, video.width, 1)
+    np.testing.assert_array_equal(one[0], frames[1])
+    np.testing.assert_array_equal(video[0:4:2], video.get_frames([0, 2]))
+
+
+def test_video_is_missing(centered_pair_video):
+    # Reference test_is_missing (:129).
+    video = Video.from_filename(centered_pair_video, grayscale=True)
+    assert not video.is_missing
+    gone = Video.from_filename("/nonexistent/path/clip.mp4")
+    assert gone.is_missing
+
+
+def test_video_reset_after_decode(centered_pair_video):
+    # Reference test_reset_video_mp4 (:459): reset drops the open reader and
+    # decoding still works afterwards.
+    video = Video.from_filename(centered_pair_video, grayscale=True)
+    f0 = video.get_frame(3)
+    video.backend.reset()
+    np.testing.assert_array_equal(video.get_frame(3), f0)
+
+
+def test_load_video_api(centered_pair_video):
+    # Reference test_load_video (:417) — the top-level convenience.
+    import sleap_tpu
+
+    video = sleap_tpu.load_video(centered_pair_video, grayscale=True)
+    assert video.num_frames > 0
+    assert video.get_frame(0).ndim == 3
+
+
+def test_get_frames_safely_all_invalid(centered_pair_video):
+    # Reference test_safe_frame_loading_all_invalid (:408).
+    video = Video.from_filename(centered_pair_video, grayscale=True)
+    n = video.num_frames
+    idxs, frames = video.get_frames_safely([n + 5, n + 6])
+    assert idxs == []
+    assert frames is None or len(frames) == 0
+
+
+def test_hdf5_channels_first_indexing(tmp_path):
+    # Reference test_hdf5_indexing (:284): channels_first datasets transpose
+    # back to (H, W, C) on read.
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (3, 2, 12, 10), np.uint8)  # (frames, C, H, W)
+    path = str(tmp_path / "vid.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("video", data=data)
+    video = Video.from_filename(path, dataset="video", input_format="channels_first")
+    assert video.shape == (3, 12, 10, 2)
+    frame = video.get_frame(1)
+    np.testing.assert_array_equal(frame, np.moveaxis(data[1], 0, -1))
