@@ -18,6 +18,7 @@ head attachment, exactly mirroring the reference's wiring:
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional
 
 import flax.linen as nn
@@ -154,6 +155,9 @@ def block_pooling_stride(blk: tuple) -> int:
 
 
 _S2D_VIA_CONV = False  # one-hot-conv alternative measured SLOWER; see below
+# Batch-minor 6-D shuffle variant (see space_to_depth below); env-gated for
+# in-context A/B on the TPU.
+_S2D_VIA_BATCH_MINOR = os.environ.get("SLEAP_TPU_S2D_BATCH_MINOR", "0") == "1"
 
 
 def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -181,6 +185,20 @@ def space_to_depth(x: jnp.ndarray, factor: int) -> jnp.ndarray:
             "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    if _S2D_VIA_BATCH_MINOR:
+        # Perform the 6-D shuffle with the batch dim LOGICALLY LAST: on TPU
+        # the surrounding ops prefer physical (H, W, C, N) anyway (the conv
+        # emitters' favorite layout — see the peaks-kernel layout notes in
+        # ops/pallas_peaks.py), so the leading transpose replaces an
+        # XLA-inserted relayout, the f×f patch gather moves only OUTER dims
+        # (contiguous (f, c, n) chunks), and the final transpose back to
+        # logical NHWC folds to a bitcast at the consumer. Channel order
+        # matches the reshape path: (dy * f + dx) * c + ci.
+        t = jnp.transpose(x, (1, 2, 3, 0))  # (H, W, C, N)
+        t = t.reshape(h // factor, factor, w // factor, factor, c, n)
+        t = jnp.transpose(t, (0, 2, 1, 3, 4, 5))
+        t = t.reshape(h // factor, w // factor, factor * factor * c, n)
+        return jnp.transpose(t, (3, 0, 1, 2))
     x = x.reshape(n, h // factor, factor, w // factor, factor, c)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
     return x.reshape(n, h // factor, w // factor, factor * factor * c)

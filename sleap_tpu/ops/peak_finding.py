@@ -579,6 +579,30 @@ def _find_local_peaks_jit(
         peak_vals: (samples, channels, K); 0 where invalid.
         peak_mask: (samples, channels, K) bool validity.
     """
+    if use_pallas and not channels_first and refinement in (None, "integral"):
+        from sleap_tpu.ops.pallas_peaks import (
+            find_local_peaks_fused_pallas_hwcs,
+            local_peaks_hwcs_ok,
+        )
+
+        samples, H, W, channels = cms.shape
+        if local_peaks_hwcs_ok(
+            (H, W, channels, samples), cms.dtype, threshold, integral_patch_size
+        ):
+            # (H, W, C, S)-standard is the conv head's preferred physical
+            # output layout, so this transpose folds to a bitcast — the
+            # (S, C, H, W) path below pays a full relayout copy of the maps.
+            hwcs = jnp.transpose(cms, (1, 2, 3, 0))
+            peaks_f, vals_f = find_local_peaks_fused_pallas_hwcs(
+                hwcs,
+                max_peaks=max_peaks,
+                threshold=threshold,
+                refine=refinement == "integral",
+            )
+            valid = jnp.isfinite(vals_f)
+            peaks = jnp.where(valid[..., None], peaks_f, jnp.nan)
+            return peaks, jnp.where(valid, vals_f, 0.0), valid
+
     if channels_first:
         # Maps already arrive as per-channel (H, W) planes; the per-map math
         # below is order-agnostic, so run it on (C, S, ...) and swap the two
