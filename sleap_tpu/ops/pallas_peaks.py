@@ -455,11 +455,11 @@ def find_local_peaks_fused_pallas(
 
 
 def _hwcs_kernel(
-    x0_ref,  # rows (2t, 2t+1) of (H, W, C, Sb)
+    x0_ref,  # rows (4t .. 4t+3) of (H, W, C, Sb)
     keys_ref,  # (K, C, Sb) int32 out: packed keys, descending
     dx_ref,  # (K, C, Sb) f32 out: integral dx offsets
     dy_ref,  # (K, C, Sb) f32 out
-    ring_ref,  # (4, W, C, Sb) bf16 scratch: rows 2t-4..2t-1 (slot = row % 4)
+    ring_ref,  # (4, W, C, Sb) bf16 scratch: the PREVIOUS input block
     keys_s,  # (SW//2, C, Sb) int32 scratch: staged pooled candidates
     dxs_s,  # (SW//2, C, Sb) f32 scratch
     dys_s,  # (SW//2, C, Sb) f32 scratch
@@ -474,31 +474,34 @@ def _hwcs_kernel(
 
     This layout is the conv head's PREFERRED physical output layout on TPU
     ({0,1,3,2} of (S, C, H, W)), so consuming it directly lets XLA fold the
-    head→peaks transpose into a bitcast — the (S, C, H, W)-consuming kernels
+    head->peaks transpose into a bitcast — the (S, C, H, W)-consuming kernels
     force a full relayout copy of the maps (~3.3 ms at the bottom-up bench
     config). Channels sit in sublanes and batch in lanes, so all H/W-direction
-    work (NMS neighbor compares, the 5-tap separable refinement sums, 2×2
+    work (NMS neighbor compares, the 5-tap separable refinement sums, 2x2
     pooling) is pure elementwise vector math over (C, Sb) tiles — no
     intra-register rolls at all, unlike the (maps, H, W) kernels.
 
-    Structure per grid step t (grid is (S/Sb, H/2 + 1), h innermost):
-      - rows 2t-4..2t+1 are available via three 2-row input specs (re-read
-        from HBM instead of VMEM ring buffers; the extra reads hide under
-        compute). Rows outside [0, H) are zeroed — exact border semantics
-        for both NMS (any candidate exceeds 0 since threshold > 0) and the
-        zero-padded integral window.
-      - rows (2t-2, 2t-1) are COMPLETED: NMS against already-available
-        neighbor rows, values packed into int32 sort keys
+    Structure per grid step t (grid is (S/Sb, H/4 + 1), h innermost):
+      - rows 4t-4..4t+3 are available: the current 4-row block plus the
+        previous block kept verbatim in a statically-indexed VMEM ring.
+        Rows outside [0, H) are zeroed — exact border semantics for both NMS
+        (any candidate exceeds 0 since threshold > 0) and the zero-padded
+        integral window.
+      - two row PAIRS are completed with lag 2: (4t-2, 4t-1) when t > 0 and
+        (4t, 4t+1) except on the tail step. Completion = NMS against the
+        already-available neighbor rows, values packed into int32 sort keys
         (bf16-value-bits << 16 | inverted linear index — same
         value-then-first-occurrence order as ``_local_peaks_kernel_packed``),
         and the integral numerators/denominator formed by separable 5-tap
-        sums (column sums over rows, then shifted row sums).
-      - a 2×2 max-pool merges the row pair: NMS survivors are never
-        8-adjacent, so each 2×2 cell holds at most ONE survivor — the pool
+        sums (telescoped column sums over rows, then shifted row sums via a
+        2-col halo; W is processed in SW-wide segments to bound Mosaic's
+        VMEM value stack).
+      - a 2x2 max-pool merges each row pair: NMS survivors are never
+        8-adjacent, so each 2x2 cell holds at most ONE survivor — the pool
         is lossless for peaks (the reason K extraction can run at 1/4 rate).
       - pooled candidates (keys + dx/dy satellites) are staged to VMEM and
-        bubble-inserted into a register-carried sorted top-K that persists
-        across grid steps in the output refs.
+        bubble-inserted into a register-carried sorted top-K persisted in
+        the output refs.
     """
     W = x0_ref.shape[1]
     C, Sb = x0_ref.shape[2], x0_ref.shape[3]
@@ -513,80 +516,101 @@ def _hwcs_kernel(
         dx_ref[...] = jnp.zeros(dx_ref.shape, jnp.float32)
         dy_ref[...] = jnp.zeros(dy_ref.shape, jnp.float32)
 
-    @pl.when(t > 0)
-    def _step():
-        # Row accessor: j is relative to 2t (j in -4..1). Past rows come from
-        # the bf16 ring (slot = row % 4), current rows from the input block.
-        # Rows outside [0, H) read as zero — exact border semantics for both
-        # NMS (threshold > 0, so a fake 0 neighbor never masks or creates a
-        # peak) and the zero-padded integral window. Returned with a 2-col
-        # halo for W-direction shifts: logical cols [lo-2, lo+SW+2) of the
-        # segment starting at lo, zero-padded at the W borders.
-        def seg_row(j, lo):
-            r = 2 * t + j
-            if j >= 0:
-                full = x0_ref[j]
-                valid = r < H  # r >= 0 always for j >= 0
-            else:
-                full = ring_ref[(r) % 4]
-                valid = r >= 0  # ring rows are < H by construction
-            a = max(lo - 2, 0)
-            b = min(lo + SW + 2, W)
-            x = full[a:b].astype(jnp.float32)
-            # Select, not multiply: out-of-range ring slots hold garbage
-            # (NaN/inf patterns would survive a *0 mask).
-            x = jnp.where(valid, x, jnp.zeros_like(x))
-            pads = []
-            if a > lo - 2:
-                pads.append(jnp.zeros((a - (lo - 2), C, Sb), jnp.float32))
-            pads.append(x)
-            if b < lo + SW + 2:
-                pads.append(jnp.zeros((lo + SW + 2 - b, C, Sb), jnp.float32))
-            return jnp.concatenate(pads, 0) if len(pads) > 1 else pads[0]
+    # Row accessor: j relative to 4t (j in -4..3); ring slots are STATIC
+    # (the ring is simply last step's block). Rows outside [0, H) read as
+    # zero via a select (ring garbage at the borders may be NaN/inf).
+    def seg_row(j, lo):
+        full = x0_ref[j] if j >= 0 else ring_ref[4 + j]
+        r = 4 * t + j
+        valid = (r >= 0) & (r < H) if j < 0 else (r < H)
+        a = max(lo - 2, 0)
+        b = min(lo + SW + 2, W)
+        x = full[a:b].astype(jnp.float32)
+        x = jnp.where(valid, x, jnp.zeros_like(x))
+        pads = []
+        if a > lo - 2:
+            pads.append(jnp.zeros((a - (lo - 2), C, Sb), jnp.float32))
+        pads.append(x)
+        if b < lo + SW + 2:
+            pads.append(jnp.zeros((lo + SW + 2 - b, C, Sb), jnp.float32))
+        return jnp.concatenate(pads, 0) if len(pads) > 1 else pads[0]
 
-        # Persistent top-K state, carried across segments and grid steps.
+    def insert_staged(n_cand):
+        # Bubble-insert staged pooled candidates into the sorted top-K that
+        # lives in the output refs (they persist across grid steps).
         state = []
         for j in range(k_peaks):
             state.extend([keys_ref[j], dx_ref[j], dy_ref[j]])
+        UNROLL = 8
 
+        def body(i, carry):
+            st = list(carry)
+            for u in range(UNROLL):
+                idx = i * UNROLL + u
+                kc = keys_s[idx]
+                dxc = dxs_s[idx]
+                dyc = dys_s[idx]
+                for j in range(k_peaks):
+                    kj, dxj, dyj = st[3 * j], st[3 * j + 1], st[3 * j + 2]
+                    swap = kc > kj
+                    st[3 * j] = jnp.where(swap, kc, kj)
+                    st[3 * j + 1] = jnp.where(swap, dxc, dxj)
+                    st[3 * j + 2] = jnp.where(swap, dyc, dyj)
+                    kc = jnp.where(swap, kj, kc)
+                    dxc = jnp.where(swap, dxj, dxc)
+                    dyc = jnp.where(swap, dyj, dyc)
+            return tuple(st)
+
+        state = jax.lax.fori_loop(0, n_cand // UNROLL, body, tuple(state))
+        for j in range(k_peaks):
+            keys_ref[j] = state[3 * j]
+            dx_ref[j] = state[3 * j + 1]
+            dy_ref[j] = state[3 * j + 2]
+
+    def process_pair(ja):
+        # Complete rows (4t+ja, 4t+ja+1); ja in {-2, 0}.
         for lo in range(0, W, SW):
-            # halo'd rows 2t-4 .. 2t+1 for this segment: (SW + 4, C, Sb)
-            rows = [seg_row(j, lo) for j in range(-4, 2)]
-            c_m4, c_m3, c_a, c_b, c_0, c_p1 = rows
+            rows = {j: seg_row(j, lo) for j in range(ja - 2, ja + 4)}
+            c_a, c_b = rows[ja], rows[ja + 1]
 
-            def ctr(x):  # segment interior (SW, C, Sb)
+            def ctr(x):
                 return x[2 : 2 + SW]
 
-            def lr(x):  # max of left/right neighbors
+            def lr(x):
                 return jnp.maximum(x[1 : 1 + SW], x[3 : 3 + SW])
 
             lr_a, lr_b = lr(c_a), lr(c_b)
-            cm3_b = jnp.maximum(lr_b, ctr(c_b))
-            cm3_m3 = jnp.maximum(lr(c_m3), ctr(c_m3))
-            cm3_0 = jnp.maximum(lr(c_0), ctr(c_0))
             cm3_a = jnp.maximum(lr_a, ctr(c_a))
+            cm3_b = jnp.maximum(lr_b, ctr(c_b))
+            cm3_up = jnp.maximum(lr(rows[ja - 1]), ctr(rows[ja - 1]))
+            cm3_dn = jnp.maximum(lr(rows[ja + 2]), ctr(rows[ja + 2]))
 
             w_iota = jax.lax.broadcasted_iota(jnp.int32, (SW, C, Sb), 0) + lo
 
-            def pack(cm, lr_x, above, below, odd):
+            def pack(cmc, lr_x, above, below, odd):
                 nbr = jnp.maximum(jnp.maximum(above, below), lr_x)
-                cmc = ctr(cm)
                 is_peak = (cmc > nbr) & (cmc > threshold)
                 masked = jnp.where(is_peak, cmc, neg_inf)
                 bits = jax.lax.bitcast_convert_type(masked, jnp.int32)
-                r = 2 * t - 2 + odd
+                r = 4 * t + ja + odd
                 inv = (jnp.int32(H * W - 1) - r * W) - w_iota
                 return ((bits >> 16) << 16) | inv
 
-            key_a = pack(c_a, lr_a, cm3_m3, cm3_b, 0)
-            key_b = pack(c_b, lr_b, cm3_a, cm3_0, 1)
+            key_a = pack(ctr(c_a), lr_a, cm3_up, cm3_b, 0)
+            key_b = pack(ctr(c_b), lr_b, cm3_a, cm3_dn, 1)
 
             if refine:
-                # Separable 5-tap integral window: column sums over rows
-                # first, then shifted row sums via the halo.
-                def sums(cm2, cm1, cc, cp1, cp2):
-                    tcol = cm2 + cm1 + cc + cp1 + cp2
-                    scol = 2.0 * (cp2 - cm2) + (cp1 - cm1)
+                # Separable 5-tap integral window: telescoped column sums
+                # over rows, then shifted row sums via the halo.
+                tcol_a = (rows[ja - 2] + rows[ja - 1] + c_a + c_b
+                          + rows[ja + 2])
+                tcol_b = tcol_a + rows[ja + 3] - rows[ja - 2]
+                scol_a = 2.0 * (rows[ja + 2] - rows[ja - 2]) + (
+                    c_b - rows[ja - 1])
+                scol_b = 2.0 * (rows[ja + 3] - rows[ja - 1]) + (
+                    rows[ja + 2] - c_a)
+
+                def xsums(tcol, scol):
                     z = (tcol[0:SW] + tcol[1 : SW + 1] + tcol[2 : SW + 2]
                          + tcol[3 : SW + 3] + tcol[4 : SW + 4])
                     mx = (tcol[3 : SW + 3] - tcol[1 : SW + 1]) + 2.0 * (
@@ -595,13 +619,13 @@ def _hwcs_kernel(
                           + scol[3 : SW + 3] + scol[4 : SW + 4])
                     return z, mx, my
 
-                z_a, mx_a, my_a = sums(c_m4, c_m3, c_a, c_b, c_0)
-                z_b, mx_b, my_b = sums(c_m3, c_a, c_b, c_0, c_p1)
+                z_a, mx_a, my_a = xsums(tcol_a, scol_a)
+                z_b, mx_b, my_b = xsums(tcol_b, scol_b)
             else:
                 zero = jnp.zeros((SW, C, Sb), jnp.float32)
                 z_a = mx_a = my_a = z_b = mx_b = my_b = zero
 
-            # ---- 2×2 pool (W pairs within each row, then the row pair) ----
+            # ---- 2x2 pool (W pairs within each row, then the row pair) ----
             def wpool(key, z, mx, my):
                 k2 = key.reshape(SW // 2, 2, C, Sb)
                 k0, k1 = k2[:, 0], k2[:, 1]
@@ -632,41 +656,21 @@ def _hwcs_kernel(
                 dxs_s[...] = zero_p
                 dys_s[...] = zero_p
 
-            # ---- bubble-insert staged candidates into the top-K state ----
-            UNROLL = int(os.environ.get("SLEAP_TPU_PEAKS_UNROLL", "8"))
+            insert_staged(SW // 2)
 
-            def body(i, carry):
-                st = list(carry)
-                for u in range(UNROLL):
-                    idx = i * UNROLL + u
-                    kc = keys_s[idx]
-                    dxc = dxs_s[idx]
-                    dyc = dys_s[idx]
-                    for j in range(k_peaks):
-                        kj, dxj, dyj = st[3 * j], st[3 * j + 1], st[3 * j + 2]
-                        swap = kc > kj
-                        st[3 * j] = jnp.where(swap, kc, kj)
-                        st[3 * j + 1] = jnp.where(swap, dxc, dxj)
-                        st[3 * j + 2] = jnp.where(swap, dyc, dyj)
-                        kc = jnp.where(swap, kj, kc)
-                        dxc = jnp.where(swap, dxj, dxc)
-                        dyc = jnp.where(swap, dyj, dyc)
-                return tuple(st)
+    @pl.when(t > 0)
+    def _pair1():
+        process_pair(-2)
 
-            state = list(
-                jax.lax.fori_loop(0, (SW // 2) // UNROLL, body, tuple(state))
-            )
+    @pl.when(t < n_steps - 1)
+    def _pair2():
+        process_pair(0)
 
-        for j in range(k_peaks):
-            keys_ref[j] = state[3 * j]
-            dx_ref[j] = state[3 * j + 1]
-            dy_ref[j] = state[3 * j + 2]
-
-    # Ring update LAST (every step, including t == 0): slots (2t) % 4 and
-    # (2t+1) % 4 are exactly the rows 2t-4 / 2t-3 consumed above. Tail-step
-    # garbage (clamped block) is written but never read.
-    ring_ref[(2 * t) % 4] = x0_ref[0]
-    ring_ref[(2 * t + 1) % 4] = x0_ref[1]
+    # Ring update LAST (every step): keep the whole current block for the
+    # next step's rows 4(t+1)-4 .. 4(t+1)-1. Tail-step garbage (clamped
+    # block) is written but never read.
+    for i in range(4):
+        ring_ref[i] = x0_ref[i]
 
 
 def local_peaks_hwcs_ok(
@@ -683,8 +687,8 @@ def local_peaks_hwcs_ok(
         return False  # 16-bit value/index packing preconditions
     if integral_patch_size != 5:
         return False  # the separable window is hard-wired to 5 taps
-    if H % 2 != 0 or W % 16 != 0:
-        return False  # row-pair pooling; W//2 insertion unroll of 8
+    if H % 4 != 0 or W % 16 != 0:
+        return False  # 4-row blocks / row-pair pooling; W//2 unroll of 8
     sb = _pick_sb(S)
     return sb is not None
 
@@ -723,8 +727,8 @@ def find_local_peaks_fused_pallas_hwcs(
     """
     H, W, C, S = maps_hwcs.shape
     sb = _pick_sb(S)
-    SW = int(os.environ.get("SLEAP_TPU_PEAKS_SW", "64"))
-    SW = SW if W % SW == 0 else (64 if W % 64 == 0 else W)
+    SW = int(os.environ.get("SLEAP_TPU_PEAKS_SW", "32"))
+    SW = SW if W % SW == 0 else (32 if W % 32 == 0 else W)
     kernel = functools.partial(
         _hwcs_kernel,
         H=H,
@@ -734,11 +738,11 @@ def find_local_peaks_fused_pallas_hwcs(
         refine=refine,
     )
     vmem = pltpu.VMEM if (_HAS_PLTPU and not interpret) else None
-    H2 = H // 2
+    H4 = H // 4
 
     in_spec = pl.BlockSpec(
-        (2, W, C, sb),
-        lambda s, h: (jnp.minimum(h, H2 - 1), 0, 0, s),
+        (4, W, C, sb),
+        lambda s, h: (jnp.minimum(h, H4 - 1), 0, 0, s),
         memory_space=vmem,
     )
     out_spec = pl.BlockSpec(
@@ -753,7 +757,7 @@ def find_local_peaks_fused_pallas_hwcs(
     ] if _HAS_PLTPU else []
     keys, dx, dy = pl.pallas_call(
         kernel,
-        grid=(S // sb, H2 + 1),
+        grid=(S // sb, H4 + 1),
         in_specs=[in_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(
