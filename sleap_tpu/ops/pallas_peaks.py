@@ -35,6 +35,36 @@ except ImportError:  # pragma: no cover
 _BLOCK_MAPS = 8  # maps per grid program (second-to-last block dims need >= 8)
 
 
+def _resolve_peaks_sw() -> int:
+    """W-segment width for the (H, W, C, S) streaming kernel's A/B knob.
+
+    Resolved ONCE at import (NOT at trace time: the jitted kernel builder
+    does not key its cache on the env var, so a mid-process flip would
+    silently hit a stale trace). Values must be multiples of 16: the kernel
+    stages SW//2 pooled candidates and inserts them in fori chunks of 8, so
+    any SW with (SW//2) % 8 != 0 would silently drop candidates, and odd SW
+    crashes the 2x2 pool reshape. Invalid values fall back to 32 loudly.
+    """
+    raw = os.environ.get("SLEAP_TPU_PEAKS_SW", "32")
+    try:
+        sw = int(raw)
+    except ValueError:
+        sw = -1
+    if sw <= 0 or sw % 16 != 0:
+        if raw != "32":
+            import warnings
+
+            warnings.warn(
+                f"SLEAP_TPU_PEAKS_SW={raw!r} invalid (need a positive "
+                "multiple of 16); falling back to 32"
+            )
+        return 32
+    return sw
+
+
+_PEAKS_SW = _resolve_peaks_sw()
+
+
 def _peak_kernel(cms_ref, xy_ref, val_ref, *, threshold: float, half: int):
     # _BLOCK_MAPS maps per program (statically unrolled) to amortize grid
     # overhead; each map's math stays rank-2 (Mosaic cannot flatten (B, H, W)
@@ -727,8 +757,9 @@ def find_local_peaks_fused_pallas_hwcs(
     """
     H, W, C, S = maps_hwcs.shape
     sb = _pick_sb(S)
-    SW = int(os.environ.get("SLEAP_TPU_PEAKS_SW", "32"))
-    SW = SW if W % SW == 0 else (32 if W % 32 == 0 else W)
+    # _PEAKS_SW is import-time resolved and validated (multiple of 16); the
+    # W fallback is safe because local_peaks_hwcs_ok requires W % 16 == 0.
+    SW = _PEAKS_SW if W % _PEAKS_SW == 0 else (32 if W % 32 == 0 else W)
     kernel = functools.partial(
         _hwcs_kernel,
         H=H,

@@ -157,3 +157,155 @@ def test_packed_gate_falls_back_on_large_maps():
     np.testing.assert_allclose(pk[0, 0], [30, 100], atol=1e-6)
     np.testing.assert_allclose(pk[0, 1], [200, 400], atol=1e-6)
     np.testing.assert_allclose(v[0], [0.75, 0.5], atol=1e-6)
+
+
+# ---- (H, W, C, S) streaming kernel (the production bottom-up peaks path) ----
+
+
+def _hwcs(cms_nhwc):
+    """bf16 (S, H, W, C) -> the kernel's (H, W, C, S) input."""
+    return jnp.transpose(cms_nhwc.astype(jnp.bfloat16), (1, 2, 3, 0))
+
+
+def _xla_reference(cms_nhwc, max_peaks, refinement):
+    """XLA path over the SAME bf16-rounded values the kernel sees."""
+    from sleap_tpu.ops.peak_finding import find_local_peaks
+
+    cms = cms_nhwc.astype(jnp.bfloat16).astype(jnp.float32)
+    return find_local_peaks(
+        cms, max_peaks=max_peaks, threshold=0.2, refinement=refinement,
+        use_pallas=False,
+    )
+
+
+def _assert_hwcs_matches(cms_nhwc, max_peaks=8, refinement=None, atol=1e-5):
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas_hwcs
+
+    pk, vals, mask = _xla_reference(cms_nhwc, max_peaks, refinement)
+    pk2, v2 = find_local_peaks_fused_pallas_hwcs(
+        _hwcs(cms_nhwc), max_peaks=max_peaks, threshold=0.2,
+        refine=refinement == "integral", interpret=True,
+    )
+    pk2, v2 = np.asarray(pk2), np.asarray(v2)
+    m2 = np.isfinite(v2)
+    ma = np.asarray(mask)
+    assert (ma == m2).all(), "peak sets differ"
+    np.testing.assert_allclose(np.asarray(pk)[ma], pk2[ma], atol=atol)
+    np.testing.assert_allclose(np.asarray(vals)[ma], v2[ma], atol=1e-6)
+
+
+@pytest.mark.parametrize("refinement", [None, "integral"])
+def test_hwcs_matches_xla(refinement):
+    _assert_hwcs_matches(_planted_maps(), refinement=refinement)
+
+
+@pytest.mark.parametrize("S", [1, 3, 6])
+def test_hwcs_sample_counts_not_multiple_of_128(S):
+    """S lands in lanes; any S with a divisor in the sb table must work."""
+    _assert_hwcs_matches(_planted_maps(seed=S, S=S, H=32, W=64, C=2, n=3))
+
+
+def test_hwcs_border_peaks():
+    """Peaks on rows 0/H-1 and cols 0/W-1: out-of-range neighbors read as
+    zero in both the kernel (ring/select) and the XLA path (zero pad)."""
+    m = np.zeros((1, 16, 32, 1), np.float32)
+    m[0, 0, 0, 0] = 0.9      # top-left corner
+    m[0, 0, 17, 0] = 0.8     # top edge
+    m[0, 15, 31, 0] = 0.7    # bottom-right corner
+    m[0, 7, 0, 0] = 0.6      # left edge
+    m[0, 9, 31, 0] = 0.5     # right edge
+    for refinement in (None, "integral"):
+        _assert_hwcs_matches(jnp.asarray(m), refinement=refinement)
+
+
+def test_hwcs_value_ties_first_occurrence():
+    """Equal values resolve to the smallest linear index (jnp.argmax rule),
+    encoded by the packed key's inverted-index low half."""
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas_hwcs
+
+    m = np.zeros((2, 16, 32, 1), np.float32)
+    m[0, 4, 20, 0] = 0.5
+    m[0, 4, 5, 0] = 0.5
+    m[0, 12, 9, 0] = 0.5
+    m[1, 3, 3, 0] = 0.25
+    pk, v = find_local_peaks_fused_pallas_hwcs(
+        _hwcs(jnp.asarray(m)), max_peaks=3, threshold=0.2,
+        refine=False, interpret=True,
+    )
+    pk, v = np.asarray(pk), np.asarray(v)
+    np.testing.assert_allclose(pk[0, 0, 0], [5, 4], atol=1e-6)
+    np.testing.assert_allclose(pk[0, 0, 1], [20, 4], atol=1e-6)
+    np.testing.assert_allclose(pk[0, 0, 2], [9, 12], atol=1e-6)
+    assert np.isfinite(v[0, 0]).all()
+    assert np.isfinite(v[1, 0, 0]) and not np.isfinite(v[1, 0, 1:]).any()
+
+
+def test_hwcs_fewer_than_k_peaks():
+    from sleap_tpu.ops.pallas_peaks import find_local_peaks_fused_pallas_hwcs
+
+    m = np.zeros((1, 16, 32, 2), np.float32)
+    m[0, 6, 10, 0] = 1.0
+    pk, v = find_local_peaks_fused_pallas_hwcs(
+        _hwcs(jnp.asarray(m)), max_peaks=4, threshold=0.2,
+        refine=False, interpret=True,
+    )
+    v = np.asarray(v)
+    assert np.isfinite(v[0, 0, 0]) and not np.isfinite(v[0, 0, 1:]).any()
+    assert not np.isfinite(v[0, 1]).any()  # empty channel
+    np.testing.assert_allclose(np.asarray(pk)[0, 0, 0], [10, 6], atol=1e-6)
+
+
+def test_hwcs_minimum_height():
+    """H=4 is one 4-row block: the t=0 step completes only the first pair,
+    the tail step the second — both lag paths exercised at their extremes."""
+    rng = np.random.RandomState(7)
+    m = rng.uniform(0, 0.05, (2, 4, 32, 2)).astype(np.float32)
+    m[0, 1, 5, 0] = 0.9
+    m[0, 2, 20, 1] = 0.7
+    m[1, 0, 9, 0] = 0.6   # border row 0
+    m[1, 3, 30, 1] = 0.8  # border row H-1
+    _assert_hwcs_matches(jnp.asarray(m), refinement="integral")
+
+
+def test_hwcs_nondefault_sw_segments():
+    """W=96 is not a multiple of the default SW=32*3: exercises multiple
+    W segments including the zero-padded halo at segment seams."""
+    _assert_hwcs_matches(
+        _planted_maps(seed=3, S=2, H=32, W=96, C=2, n=4), refinement="integral"
+    )
+
+
+def test_hwcs_gate():
+    from sleap_tpu.ops import pallas_peaks as pp
+
+    if not pp._HAS_PLTPU:
+        pytest.skip("pltpu unavailable")
+    ok = pp.local_peaks_hwcs_ok
+    assert ok((64, 128, 3, 8), jnp.bfloat16, 0.2, 5)
+    assert not ok((64, 128, 3, 8), jnp.float32, 0.2, 5)  # packing needs bf16
+    assert not ok((512, 256, 3, 8), jnp.bfloat16, 0.2, 5)  # H*W > 2^16
+    assert not ok((64, 128, 3, 8), jnp.bfloat16, 0.0, 5)  # threshold <= 0
+    assert not ok((64, 128, 3, 8), jnp.bfloat16, 0.2, 7)  # 5-tap hard-wired
+    assert not ok((66, 128, 3, 8), jnp.bfloat16, 0.2, 5)  # H % 4
+    assert not ok((64, 120, 3, 8), jnp.bfloat16, 0.2, 5)  # W % 16
+
+
+def test_peaks_sw_env_validation():
+    from sleap_tpu.ops.pallas_peaks import _resolve_peaks_sw
+
+    assert _resolve_peaks_sw() in (16, 32, 48, 64) or _resolve_peaks_sw() % 16 == 0
+    import os as _os
+
+    old = _os.environ.get("SLEAP_TPU_PEAKS_SW")
+    try:
+        for bad in ("8", "24", "-16", "zzz", "0"):
+            _os.environ["SLEAP_TPU_PEAKS_SW"] = bad
+            with pytest.warns(UserWarning):
+                assert _resolve_peaks_sw() == 32
+        _os.environ["SLEAP_TPU_PEAKS_SW"] = "48"
+        assert _resolve_peaks_sw() == 48
+    finally:
+        if old is None:
+            _os.environ.pop("SLEAP_TPU_PEAKS_SW", None)
+        else:
+            _os.environ["SLEAP_TPU_PEAKS_SW"] = old
