@@ -44,10 +44,12 @@ from typing import Callable, Dict, Iterable, List, Tuple
 import numpy as np
 
 from sleap_tpu.models.pretrained_encoder import (
+    _DENSENET_BLOCKS,
     _EFFNET_SCALING,
     _EFFNET_STAGES,
     _MBV2_STAGES,
-    _RESNET_BLOCKS,
+    _RESNET_SPECS,
+    _VGG_REPS,
     _round_repeats,
     AVAILABLE_ENCODERS,
 )
@@ -82,9 +84,13 @@ def _pairs_bn(flax_name: str, torch_name: str):
 
 
 def _map_resnet(encoder: str) -> List[Tuple[str, str, Callable]]:
-    bottleneck = encoder == "resnet50"
+    # torchvision resnet18/34/50/101/152 AND resnext50_32x4d/resnext101_32x8d
+    # share the layerN.M.{conv,bn,downsample} naming, so one mapper covers
+    # both families (the grouped conv2 kernel converts with the same OIHW ->
+    # HWIO transpose; flax feature_group_count splits along I the same way).
+    blocks, bottleneck, _g, _w, _se = _RESNET_SPECS[encoder]
     pairs = _pairs_conv("stem_conv", "conv1") + _pairs_bn("stem_bn", "bn1")
-    for si, nb in enumerate(_RESNET_BLOCKS[encoder]):
+    for si, nb in enumerate(blocks):
         for bi in range(nb):
             fl = f"stage{si + 1}_block{bi + 1}"
             th = f"layer{si + 1}.{bi}"
@@ -100,10 +106,13 @@ def _map_resnet(encoder: str) -> List[Tuple[str, str, Callable]]:
     return pairs
 
 
-def _map_vgg16() -> List[Tuple[str, str, Callable]]:
-    # torchvision vgg16.features conv indices, in order.
-    feat_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    reps = (2, 2, 3, 3, 3)
+def _map_vgg(encoder: str) -> List[Tuple[str, str, Callable]]:
+    # torchvision vgg features conv indices, in order.
+    feat_idx = {
+        "vgg16": [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28],
+        "vgg19": [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34],
+    }[encoder]
+    reps = _VGG_REPS[encoder]
     pairs = []
     k = 0
     for si, n in enumerate(reps):
@@ -142,11 +151,11 @@ def _map_mobilenetv2() -> List[Tuple[str, str, Callable]]:
     return pairs
 
 
-def _map_densenet121() -> List[Tuple[str, str, Callable]]:
+def _map_densenet(encoder: str) -> List[Tuple[str, str, Callable]]:
     pairs = _pairs_conv("stem_conv", "features.conv0") + _pairs_bn(
         "stem_bn", "features.norm0"
     )
-    for bi, n_layers in enumerate((6, 12, 24, 16)):
+    for bi, n_layers in enumerate(_DENSENET_BLOCKS[encoder]):
         for li in range(n_layers):
             fl = f"block{bi + 1}_layer{li + 1}"
             th = f"features.denseblock{bi + 1}.denselayer{li + 1}"
@@ -189,23 +198,29 @@ def _map_efficientnet(encoder: str) -> List[Tuple[str, str, Callable]]:
     return pairs
 
 
-_MAPPERS = {
-    "resnet18": lambda: _map_resnet("resnet18"),
-    "resnet34": lambda: _map_resnet("resnet34"),
-    "resnet50": lambda: _map_resnet("resnet50"),
-    "vgg16": _map_vgg16,
-    "mobilenetv2": _map_mobilenetv2,
-    "densenet121": _map_densenet121,
-    "efficientnetb0": lambda: _map_efficientnet("efficientnetb0"),
-    "efficientnetb1": lambda: _map_efficientnet("efficientnetb1"),
-}
+_MAPPERS = {}
+for _n in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+           "resnext50", "resnext101"):
+    _MAPPERS[_n] = (lambda n=_n: _map_resnet(n))
+for _n in _VGG_REPS:
+    _MAPPERS[_n] = (lambda n=_n: _map_vgg(n))
+for _n in _DENSENET_BLOCKS:
+    _MAPPERS[_n] = (lambda n=_n: _map_densenet(n))
+for _n in _EFFNET_SCALING:
+    _MAPPERS[_n] = (lambda n=_n: _map_efficientnet(n))
+_MAPPERS["mobilenetv2"] = _map_mobilenetv2
+# No torchvision checkpoints exist for mobilenet(v1) or the seresnet/
+# seresnext family — those encoders build (random init) but have no
+# converter mapping; convert timm checkpoints manually if needed.
 
 # Accept torchvision model-zoo style aliases on the CLI.
 _ALIASES = {
     "mobilenet_v2": "mobilenetv2",
-    "efficientnet_b0": "efficientnetb0",
-    "efficientnet_b1": "efficientnetb1",
+    "resnext50_32x4d": "resnext50",
+    "resnext101_32x8d": "resnext101",
 }
+for _i in range(8):
+    _ALIASES["efficientnet_b%d" % _i] = "efficientnetb%d" % _i
 
 
 def convert_torchvision_state_dict(

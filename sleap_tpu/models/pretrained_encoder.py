@@ -4,11 +4,15 @@ Rebuild of ``/root/reference/sleap/nn/architectures/pretrained_encoders.py``
 (``UnetPretrainedEncoder:98``), which wraps the ``segmentation_models`` Keras
 zoo. TPU-native re-design:
 
-- The encoder families the reference defaults to are implemented natively in
-  flax (``efficientnetb0/b1``, ``resnet18/34/50``, ``mobilenetv2``,
-  ``densenet121``, ``vgg16``) — standard architectures, max stride 32, skip
-  features collected right before each spatial reduction (the same contract
-  as the zoo's ``Unet`` feature layers).
+- The reference zoo's encoder families are implemented natively in flax
+  (``efficientnetb0-b7``, ``resnet18/34/50/101/152``, ``resnext50/101``,
+  ``seresnet18-152``, ``seresnext50/101``, ``mobilenet``/``mobilenetv2``,
+  ``densenet121/169/201``, ``vgg16/19``) — standard architectures, max
+  stride 32, skip features collected right before each spatial reduction
+  (the same contract as the zoo's ``Unet`` feature layers). The three names
+  with no flax rebuild (``inceptionv3``, ``inceptionresnetv2``,
+  ``senet154``) raise with a nearest-supported-family migration hint
+  (see ``UNSUPPORTED_ENCODER_HINTS``).
 - The decoder mirrors ``sm.models.unet`` with ``decoder_block_type=
   "upsampling"``: nearest-up x2 -> concat skip -> (conv3x3 + BN + ReLU) x2
   per block (layers ``decoder_stage{i}{a,b}``), 4 blocks by default
@@ -41,17 +45,6 @@ from sleap_tpu.models.encoder_decoder import apply_activation, max_pool_same, up
 
 logger = logging.getLogger(__name__)
 
-AVAILABLE_ENCODERS = [
-    "vgg16",
-    "resnet18",
-    "resnet34",
-    "resnet50",
-    "mobilenetv2",
-    "efficientnetb0",
-    "efficientnetb1",
-    "densenet121",
-]
-
 # (expand_ratio, filters_out, repeats, stride, kernel) per EfficientNet stage.
 _EFFNET_STAGES = (
     (1, 16, 1, 1, 3),
@@ -62,8 +55,18 @@ _EFFNET_STAGES = (
     (6, 192, 4, 2, 5),
     (6, 320, 1, 1, 3),
 )
-# (width_mult, depth_mult) per EfficientNet variant.
-_EFFNET_SCALING = {"efficientnetb0": (1.0, 1.0), "efficientnetb1": (1.0, 1.1)}
+# (width_mult, depth_mult) per EfficientNet variant (Tan & Le 2019, Table 1's
+# compound-scaling coefficients — the same table torchvision/keras use).
+_EFFNET_SCALING = {
+    "efficientnetb0": (1.0, 1.0),
+    "efficientnetb1": (1.0, 1.1),
+    "efficientnetb2": (1.1, 1.2),
+    "efficientnetb3": (1.2, 1.4),
+    "efficientnetb4": (1.4, 1.8),
+    "efficientnetb5": (1.6, 2.2),
+    "efficientnetb6": (1.8, 2.6),
+    "efficientnetb7": (2.0, 3.1),
+}
 
 # (expansion, channels, repeats, stride) per MobileNetV2 stage.
 _MBV2_STAGES = (
@@ -76,7 +79,59 @@ _MBV2_STAGES = (
     (6, 320, 1, 1),
 )
 
-_RESNET_BLOCKS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3)}
+# MobileNet v1 depthwise-separable stack: (pointwise filters, stride).
+_MBV1_STAGES = (
+    (64, 1), (128, 2), (128, 1), (256, 2), (256, 1), (512, 2),
+    (512, 1), (512, 1), (512, 1), (512, 1), (512, 1), (1024, 2), (1024, 1),
+)
+
+# ResNet-family specs: (block_counts, bottleneck, groups, base_width, se).
+# groups/base_width follow the torchvision ResNeXt convention
+# (width = int(f * base_width / 64) * groups); se adds the squeeze-excite
+# module (ratio 16) of the SE-ResNet/SE-ResNeXt family.
+_RESNET_SPECS = {
+    "resnet18": ((2, 2, 2, 2), False, 1, 64, False),
+    "resnet34": ((3, 4, 6, 3), False, 1, 64, False),
+    "resnet50": ((3, 4, 6, 3), True, 1, 64, False),
+    "resnet101": ((3, 4, 23, 3), True, 1, 64, False),
+    "resnet152": ((3, 8, 36, 3), True, 1, 64, False),
+    "resnext50": ((3, 4, 6, 3), True, 32, 4, False),
+    "resnext101": ((3, 4, 23, 3), True, 32, 8, False),
+    "seresnet18": ((2, 2, 2, 2), False, 1, 64, True),
+    "seresnet34": ((3, 4, 6, 3), False, 1, 64, True),
+    "seresnet50": ((3, 4, 6, 3), True, 1, 64, True),
+    "seresnet101": ((3, 4, 23, 3), True, 1, 64, True),
+    "seresnet152": ((3, 8, 36, 3), True, 1, 64, True),
+    "seresnext50": ((3, 4, 6, 3), True, 32, 4, True),
+    "seresnext101": ((3, 4, 23, 3), True, 32, 4, True),
+}
+
+# VGG conv repeats per 5 stages.
+_VGG_REPS = {"vgg16": (2, 2, 3, 3, 3), "vgg19": (2, 2, 4, 4, 4)}
+
+# DenseNet dense-block layer counts.
+_DENSENET_BLOCKS = {
+    "densenet121": (6, 12, 24, 16),
+    "densenet169": (6, 12, 32, 32),
+    "densenet201": (6, 12, 48, 32),
+}
+
+AVAILABLE_ENCODERS = sorted(
+    set(_RESNET_SPECS)
+    | set(_VGG_REPS)
+    | set(_DENSENET_BLOCKS)
+    | set(_EFFNET_SCALING)
+    | {"mobilenet", "mobilenetv2"}
+)
+
+# Reference zoo names (config/model.py:597-620) that have no native flax
+# rebuild here: loud error with a migration hint (the reference loads these
+# from the segmentation_models Keras zoo, which needs downloads anyway).
+UNSUPPORTED_ENCODER_HINTS = {
+    "inceptionv3": "resnet50",
+    "inceptionresnetv2": "resnet50",
+    "senet154": "seresnet152",
+}
 
 
 def _round_filters(filters: float, width_mult: float, divisor: int = 8) -> int:
@@ -121,10 +176,12 @@ class UnetPretrainedEncoderModule(nn.Module):
     # ------------------------------------------------------------------ #
     # Encoders. Each returns (x_stride32, {stride: skip_tensor}).
     # ------------------------------------------------------------------ #
-    def _vgg16(self, x, train):
+    def _vgg(self, x, train):
         skips = {}
         stride = 1
-        for si, (f, reps) in enumerate(zip((64, 128, 256, 512, 512), (2, 2, 3, 3, 3))):
+        for si, (f, reps) in enumerate(
+            zip((64, 128, 256, 512, 512), _VGG_REPS[self.encoder])
+        ):
             for ri in range(reps):
                 x = self._conv(x, f, 3, 1, f"block{si + 1}_conv{ri + 1}", use_bias=True)
                 x = apply_activation(x, "relu")
@@ -133,8 +190,19 @@ class UnetPretrainedEncoderModule(nn.Module):
             stride *= 2
         return x, skips
 
+    def _se(self, x, name, ratio=16):
+        """Squeeze-excite (SE-ResNet form: ReLU reduce, sigmoid gate)."""
+        c = int(x.shape[-1])
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(max(1, c // ratio), (1, 1), dtype=self.compute_dtype,
+                    name=f"{name}_se_reduce")(s)
+        s = apply_activation(s, "relu")
+        s = nn.Conv(c, (1, 1), dtype=self.compute_dtype,
+                    name=f"{name}_se_expand")(s)
+        return x * jax.nn.sigmoid(s)
+
     def _resnet(self, x, train):
-        bottleneck = self.encoder == "resnet50"
+        blocks, bottleneck, groups, base_width, se = _RESNET_SPECS[self.encoder]
         skips = {}
         x = self._conv(x, 64, 7, 2, "stem_conv")
         x = self._bn(x, "stem_bn", train)
@@ -149,21 +217,28 @@ class UnetPretrainedEncoderModule(nn.Module):
             out = apply_activation(out, "relu")
             out = self._conv(out, f, 3, 1, f"{name}_conv2")
             out = self._bn(out, f"{name}_bn2", train)
+            if se:
+                out = self._se(out, name)
             if s != 1 or shortcut.shape[-1] != f:
                 shortcut = self._conv(x, f, 1, s, f"{name}_proj")
                 shortcut = self._bn(shortcut, f"{name}_proj_bn", train)
             return apply_activation(out + shortcut, "relu")
 
         def bottleneck_block(x, f, s, name):
+            # ResNeXt convention (torchvision): inner width scales with
+            # base_width and groups; plain ResNet is groups=1, base_width=64.
+            width = int(f * base_width / 64) * groups
             shortcut = x
-            out = self._conv(x, f, 1, s, f"{name}_conv1")
+            out = self._conv(x, width, 1, s, f"{name}_conv1")
             out = self._bn(out, f"{name}_bn1", train)
             out = apply_activation(out, "relu")
-            out = self._conv(out, f, 3, 1, f"{name}_conv2")
+            out = self._conv(out, width, 3, 1, f"{name}_conv2", groups=groups)
             out = self._bn(out, f"{name}_bn2", train)
             out = apply_activation(out, "relu")
             out = self._conv(out, f * 4, 1, 1, f"{name}_conv3")
             out = self._bn(out, f"{name}_bn3", train)
+            if se:
+                out = self._se(out, name)
             if s != 1 or shortcut.shape[-1] != f * 4:
                 shortcut = self._conv(x, f * 4, 1, s, f"{name}_proj")
                 shortcut = self._bn(shortcut, f"{name}_proj_bn", train)
@@ -171,13 +246,32 @@ class UnetPretrainedEncoderModule(nn.Module):
 
         block = bottleneck_block if bottleneck else basic_block
         stride = 4
-        for si, (f, nb) in enumerate(zip((64, 128, 256, 512), _RESNET_BLOCKS[self.encoder])):
+        for si, (f, nb) in enumerate(zip((64, 128, 256, 512), blocks)):
             s1 = 1 if si == 0 else 2
             if s1 == 2:
                 skips[stride] = x
                 stride *= 2
             for bi in range(nb):
                 x = block(x, f, s1 if bi == 0 else 1, f"stage{si + 1}_block{bi + 1}")
+        return x, skips
+
+    def _mobilenetv1(self, x, train):
+        skips = {}
+        x = self._conv(x, 32, 3, 2, "stem_conv")
+        x = self._bn(x, "stem_bn", train)
+        x = jax.nn.relu6(x)
+        stride = 2
+        for i, (f, s) in enumerate(_MBV1_STAGES):
+            if s == 2:
+                skips[stride] = x
+                stride *= 2
+            name = f"dw{i + 1}"
+            x = self._conv(x, x.shape[-1], 3, s, f"{name}_dw", groups=x.shape[-1])
+            x = self._bn(x, f"{name}_dw_bn", train)
+            x = jax.nn.relu6(x)
+            x = self._conv(x, f, 1, 1, f"{name}_pw")
+            x = self._bn(x, f"{name}_pw_bn", train)
+            x = jax.nn.relu6(x)
         return x, skips
 
     def _mobilenetv2(self, x, train):
@@ -259,7 +353,7 @@ class UnetPretrainedEncoderModule(nn.Module):
         x = jax.nn.silu(x)
         return x, skips
 
-    def _densenet121(self, x, train):
+    def _densenet(self, x, train):
         growth = 32
         skips = {}
 
@@ -278,7 +372,7 @@ class UnetPretrainedEncoderModule(nn.Module):
         skips[2] = x
         x = max_pool_same(x, 2, pool_size=3)
         stride = 4
-        for bi, n_layers in enumerate((6, 12, 24, 16)):
+        for bi, n_layers in enumerate(_DENSENET_BLOCKS[self.encoder]):
             for li in range(n_layers):
                 x = dense_layer(x, f"block{bi + 1}_layer{li + 1}")
             if bi < 3:
@@ -301,16 +395,20 @@ class UnetPretrainedEncoderModule(nn.Module):
             # Tile grayscale to RGB (reference pretrained_encoders.py:206).
             x = jnp.tile(x, (1, 1, 1, 3))
 
-        enc_fn = {
-            "vgg16": self._vgg16,
-            "resnet18": self._resnet,
-            "resnet34": self._resnet,
-            "resnet50": self._resnet,
-            "mobilenetv2": self._mobilenetv2,
-            "efficientnetb0": self._efficientnet,
-            "efficientnetb1": self._efficientnet,
-            "densenet121": self._densenet121,
-        }[self.encoder]
+        if self.encoder in _RESNET_SPECS:
+            enc_fn = self._resnet
+        elif self.encoder in _VGG_REPS:
+            enc_fn = self._vgg
+        elif self.encoder in _DENSENET_BLOCKS:
+            enc_fn = self._densenet
+        elif self.encoder in _EFFNET_SCALING:
+            enc_fn = self._efficientnet
+        elif self.encoder == "mobilenetv2":
+            enc_fn = self._mobilenetv2
+        elif self.encoder == "mobilenet":
+            enc_fn = self._mobilenetv1
+        else:
+            raise ValueError(f"Unknown encoder {self.encoder!r}")
         x, skips = enc_fn(x, train)
 
         # Decoder (sm Unet "upsampling" blocks): up x2 -> concat skip ->
@@ -367,6 +465,16 @@ class UnetPretrainedEncoder:
     @classmethod
     def from_config(cls, config: PretrainedEncoderConfig) -> "UnetPretrainedEncoder":
         if config.encoder not in AVAILABLE_ENCODERS:
+            hint = UNSUPPORTED_ENCODER_HINTS.get(config.encoder)
+            if hint:
+                raise ValueError(
+                    f"Encoder {config.encoder!r} has no native flax rebuild; "
+                    f"the nearest supported family is {hint!r} — update the "
+                    "config's model.backbone.pretrained_encoder.encoder. "
+                    "(Converted weights for supported families load via "
+                    "sleap_tpu.models.convert_pretrained + "
+                    "$SLEAP_TPU_PRETRAINED_DIR.)"
+                )
             raise ValueError(
                 f"Unsupported encoder {config.encoder!r}; available: "
                 f"{AVAILABLE_ENCODERS}. (The reference's full zoo is in "

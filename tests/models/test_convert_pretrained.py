@@ -50,7 +50,9 @@ def synth_state_dict(encoder, rng):
 
 @pytest.mark.parametrize(
     "encoder",
-    ["resnet18", "resnet50", "vgg16", "mobilenetv2", "densenet121", "efficientnetb0"],
+    ["resnet18", "resnet50", "vgg16", "mobilenetv2", "densenet121",
+     "efficientnetb0", "resnext50", "vgg19", "densenet169", "efficientnetb2",
+     "resnet101"],
 )
 def test_convert_roundtrip(encoder, tmp_path, monkeypatch):
     rng = np.random.default_rng(7)
@@ -120,7 +122,7 @@ def test_missing_keys_fail_loudly():
 
 def test_unknown_encoder_rejected():
     with pytest.raises(ValueError, match="Unsupported encoder"):
-        cp.convert_torchvision_state_dict({}, "resnet101")
+        cp.convert_torchvision_state_dict({}, "inceptionv3")
 
 
 def test_op_level_forward_parity_with_torch():

@@ -36,7 +36,17 @@ def _build(encoder, output_stride=4, decoder_filters=8):
     return Model.from_config(mc)
 
 
-@pytest.mark.parametrize("encoder", AVAILABLE_ENCODERS)
+# Real compiled forward for one representative per family (+ the originals);
+# the rest of the 29-name zoo is graph-built via eval_shape below (no compile
+# — the seresnet152/efficientnetb7-class graphs would bloat the fast suite).
+_FORWARD_ENCODERS = [
+    "vgg16", "vgg19", "resnet18", "resnet34", "resnet50", "resnext50",
+    "seresnet18", "mobilenet", "mobilenetv2", "efficientnetb0",
+    "efficientnetb1", "efficientnetb2", "densenet121",
+]
+
+
+@pytest.mark.parametrize("encoder", _FORWARD_ENCODERS)
 def test_encoder_forward(encoder):
     model = _build(encoder)
     assert model.backbone.maximum_stride == 32
@@ -44,6 +54,32 @@ def test_encoder_forward(encoder):
     module, variables = model.init(jax.random.PRNGKey(0), (64, 64, 1))
     out = module.apply(variables, jnp.zeros((1, 64, 64, 1)), train=False)
     assert out["CentroidConfmapsHead"].shape == (1, 16, 16, 1)
+
+
+@pytest.mark.parametrize(
+    "encoder", sorted(set(AVAILABLE_ENCODERS) - set(_FORWARD_ENCODERS))
+)
+def test_encoder_builds(encoder):
+    """Graph-build (trace + shape flow) every remaining zoo name."""
+    model = _build(encoder)
+    module = model.make_flax_module()
+
+    out = jax.eval_shape(
+        lambda: module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), train=False
+        )
+    )
+    assert "params" in out
+
+
+def test_unsupported_encoders_raise_with_hint():
+    from sleap_tpu.models.pretrained_encoder import UNSUPPORTED_ENCODER_HINTS
+
+    for name, hint in UNSUPPORTED_ENCODER_HINTS.items():
+        with pytest.raises(ValueError, match=hint):
+            UnetPretrainedEncoder.from_config(
+                cfg.PretrainedEncoderConfig(encoder=name, output_stride=4)
+            )
 
 
 def test_output_stride_sets_up_blocks():
@@ -81,6 +117,43 @@ def test_mobilenetv2_encoder_param_count():
         if "decoder" not in str(path) and "Head" not in str(path)
     )
     assert 2.0e6 < n < 2.5e6, n
+
+
+def _encoder_param_count(encoder):
+    model = _build(encoder, decoder_filters=4)
+    module = model.make_flax_module()
+    variables = jax.eval_shape(
+        lambda: module.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), train=False
+        )
+    )
+    return sum(
+        int(np.prod(p.shape))
+        for path, p in jax.tree_util.tree_leaves_with_path(variables["params"])
+        if "decoder" not in str(path) and "Head" not in str(path)
+    )
+
+
+@pytest.mark.parametrize(
+    "encoder,lo,hi",
+    [
+        # torchvision published totals minus the classifier head.
+        ("resnet101", 42.0e6, 43.0e6),    # 44,549,160 - 2,049,000
+        ("resnet152", 57.5e6, 58.7e6),    # 60,192,808 - 2,049,000
+        ("resnext50", 22.5e6, 23.4e6),    # 25,028,904 - 2,049,000
+        ("vgg19", 19.8e6, 20.3e6),        # features: 20,024,384
+        ("densenet169", 12.0e6, 13.0e6),  # 14,149,480 - 1,665,000
+        ("densenet201", 17.7e6, 18.7e6),  # 20,013,928 - 1,921,000
+        ("efficientnetb3", 10.0e6, 11.5e6),  # keras headless: 10,783,535
+        ("efficientnetb7", 62.0e6, 66.0e6),  # keras headless: 64,097,687
+        ("mobilenet", 3.0e6, 3.5e6),      # v1 features: 3,228,864
+    ],
+)
+def test_new_encoder_param_counts(encoder, lo, hi):
+    """Pin encoder sizes to the published torchvision/keras feature-extractor
+    param counts — catches block-table or scaling-table drift."""
+    n = _encoder_param_count(encoder)
+    assert lo < n < hi, f"{encoder}: {n}"
 
 
 def test_local_weight_loading(tmp_path):
