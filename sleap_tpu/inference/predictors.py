@@ -93,6 +93,43 @@ def _unpack_zip(path: str) -> str:
     return out_dir
 
 
+def _ckpt_input_channels(ckpt_path, model, init_hw, candidates) -> int:
+    """Infer the input-channel count a checkpoint was trained with.
+
+    A model trained on RGB video with neither ``ensure_grayscale`` nor
+    ``ensure_rgb`` set stores 3-channel stem kernels; rebuilding it with the
+    flag-derived default (1) makes orbax restore fail on the shape mismatch.
+    Compare each candidate's ``eval_shape``-built variable tree against the
+    checkpoint metadata and return the (unique) match.
+    """
+    import orbax.checkpoint as ocp
+
+    try:
+        md = ocp.StandardCheckpointer().metadata(os.path.abspath(ckpt_path))
+        md = getattr(md, "item_metadata", md)
+    except Exception:
+        return candidates[0]
+    md_shapes = {
+        jax.tree_util.keystr(kp): tuple(v.shape)
+        for kp, v in jax.tree_util.tree_leaves_with_path(md)
+        if hasattr(v, "shape")
+    }
+    for c in dict.fromkeys(candidates):
+        try:
+            tree = jax.eval_shape(
+                lambda c=c: model.init(jax.random.PRNGKey(0), (init_hw, init_hw, c))[1]
+            )
+        except Exception:
+            continue
+        shapes = {
+            jax.tree_util.keystr(kp): tuple(v.shape)
+            for kp, v in jax.tree_util.tree_leaves_with_path(tree)
+        }
+        if shapes == md_shapes:
+            return c
+    return candidates[0]
+
+
 def load_trained_model(model_path: str) -> TrainedModel:
     """Load a run folder (training_config.json + weights) into flax.
 
@@ -136,12 +173,19 @@ def load_trained_model(model_path: str) -> TrainedModel:
             if first_layer in weights:
                 in_channels = int(weights[first_layer]["kernel"].shape[2])
                 break
+    max_stride = model.maximum_stride
+    init_hw = max(4 * max_stride, 32)
     if in_channels is None:
         pp = config.data.preprocessing
         in_channels = 1 if pp.ensure_grayscale else (3 if pp.ensure_rgb else 1)
-
-    max_stride = model.maximum_stride
-    init_hw = max(4 * max_stride, 32)
+        if not pp.ensure_grayscale and not pp.ensure_rgb and os.path.isdir(ckpt_path):
+            # Neither flag set -> the trainer used the video's own channel
+            # count (reference normalization semantics), which the config
+            # alone cannot recover. Pick the candidate whose init-tree
+            # shapes match the checkpoint's stored array shapes.
+            in_channels = _ckpt_input_channels(
+                ckpt_path, model, init_hw, candidates=(in_channels, 3)
+            )
     module, variables = model.init(
         jax.random.PRNGKey(0), (init_hw, init_hw, in_channels)
     )

@@ -111,6 +111,11 @@ def render_frame(
     return img
 
 
+#: Frames per pipeline work item (reference visuals.py:745 renders in
+#: chunks too; 16 keeps queue memory bounded at ~4 chunks x 16 frames).
+_RENDER_CHUNK = 16
+
+
 def save_labeled_video(
     filename: str,
     labels: Labels,
@@ -122,6 +127,7 @@ def save_labeled_video(
     background: str = "original",
     marker_size: int = 4,
     show_edges: bool = True,
+    pipelined: bool = True,
 ) -> None:
     """Render an annotated video (reference visuals.py:510 ``save_labeled_video``).
 
@@ -129,6 +135,14 @@ def save_labeled_video(
     smoothed with a 5-frame running average (reference VideoMarkerThread
     ``_crop_centers`` deque, visuals.py:235-242). ``background`` replaces
     pixels with a solid fill: original | black | grey | white.
+
+    ``pipelined=True`` overlaps the three stages — decode, mark, encode — in
+    a reader -> marker -> writer thread pipeline over frame chunks, the same
+    topology as the reference's multiprocess queue pipeline
+    (visuals.py:30-107 ``reader``/``VideoMarkerThread``/``writer``). Threads
+    suffice here: cv2 decode/encode release the GIL, and the marker stage is
+    sequential anyway (the crop-center running average is stateful). Frame
+    order and output bytes are identical to the serial path.
     """
     from collections import deque
 
@@ -145,11 +159,10 @@ def save_labeled_video(
         out_w, out_h = w, h
     writer = VideoWriter.safe_builder(filename, height=out_h, width=out_w, fps=fps)
     crop_centers: deque = deque(maxlen=5)
-    for fi in frames:
-        try:
-            img = video.get_frame(fi)
-        except Exception:
-            continue
+
+    def mark(fi: int, img: np.ndarray) -> np.ndarray:
+        """Background/resize/crop/draw for one frame (stateful via
+        ``crop_centers`` — must be called in frame order)."""
         img = apply_background(img, background)
         if scale != 1.0:
             img = resize_image(img, scale)
@@ -178,13 +191,101 @@ def save_labeled_video(
                     ((0, out_h - img.shape[0]), (0, out_w - img.shape[1]), (0, 0)),
                 )
             offset_xy = (float(x0), float(y0))
-        out = render_frame(
+        return render_frame(
             labels, img, fi, video=video, marker_size=marker_size, scale=scale,
             show_edges=show_edges, offset_xy=offset_xy,
         )
-        writer.add_frame(out, bgr=True)
-    writer.close()
+
+    try:
+        if pipelined:
+            _render_pipelined(video, frames, mark, writer)
+        else:
+            for fi in frames:
+                try:
+                    img = video.get_frame(fi)
+                except Exception:
+                    continue
+                writer.add_frame(mark(fi, img), bgr=True)
+    finally:
+        writer.close()
     logger.info("Saved rendered video: %s", filename)
+
+
+def _render_pipelined(video, frames, mark, writer) -> None:
+    """reader -> marker -> writer thread pipeline over frame chunks.
+
+    Mirrors the reference's process pipeline (visuals.py:30-107): a decode
+    thread chunks frames into a bounded queue, a marker thread draws (in
+    order — the crop smoothing is stateful), and the caller thread encodes.
+    Worker exceptions propagate to the caller; queues are bounded so a slow
+    encoder backpressures decode instead of buffering the whole video.
+    """
+    import queue
+    import threading
+
+    q_decoded: "queue.Queue" = queue.Queue(maxsize=4)
+    q_marked: "queue.Queue" = queue.Queue(maxsize=4)
+    errors: list = []
+
+    def reader():
+        try:
+            chunk = []
+            for fi in frames:
+                try:
+                    img = video.get_frame(fi)
+                except Exception:
+                    continue
+                chunk.append((fi, img))
+                if len(chunk) >= _RENDER_CHUNK:
+                    q_decoded.put(chunk)
+                    chunk = []
+            if chunk:
+                q_decoded.put(chunk)
+        except BaseException as e:  # propagate to the writer thread
+            errors.append(e)
+        finally:
+            q_decoded.put(None)
+
+    def marker():
+        try:
+            while True:
+                chunk = q_decoded.get()
+                if chunk is None:
+                    break
+                q_marked.put([mark(fi, img) for fi, img in chunk])
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q_marked.put(None)
+
+    threads = [
+        threading.Thread(target=reader, name="sleap-render-reader", daemon=True),
+        threading.Thread(target=marker, name="sleap-render-marker", daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        while True:
+            chunk = q_marked.get()
+            if chunk is None:
+                break
+            for out in chunk:
+                writer.add_frame(out, bgr=True)
+    finally:
+        # Unblock workers stuck on a full queue before joining.
+        while any(t.is_alive() for t in threads):
+            try:
+                q_decoded.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                q_marked.get_nowait()
+            except queue.Empty:
+                pass
+            for t in threads:
+                t.join(timeout=0.05)
+    if errors:
+        raise errors[0]
 
 
 def main(args=None) -> None:

@@ -69,3 +69,49 @@ def test_load_model_single_path_string():
     src = _require("minimal_robot.UNet.single_instance")
     predictor = sleap_tpu.load_model(src)
     assert type(predictor).__name__ == "SingleInstancePredictor"
+
+def test_rgb_trained_orbax_checkpoint_channel_inference(tmp_path):
+    """A run trained on RGB video with neither ensure_grayscale nor
+    ensure_rgb set stores 3-channel stem kernels; the loader must infer 3
+    from the checkpoint metadata, not default to 1 (regression: RGB-trained
+    single_instance eval failed to restore with a (3,3,1,.) vs (3,3,3,.)
+    shape mismatch)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    import sleap_tpu.config as cfg
+    from sleap_tpu.core.skeleton import Skeleton
+    from sleap_tpu.inference.predictors import load_trained_model
+    from sleap_tpu.models.model import Model
+
+    skel = Skeleton("sk")
+    skel.add_node("a")
+    skel.add_node("b")
+    job = cfg.TrainingJobConfig(
+        model=cfg.ModelConfig(
+            backbone=cfg.BackboneConfig(
+                unet=cfg.UNetConfig(max_stride=8, output_stride=4, filters=4)
+            ),
+            heads=cfg.HeadsConfig(
+                single_instance=cfg.SingleInstanceConfmapsHeadConfig(
+                    part_names=["a", "b"], output_stride=4, sigma=1.5
+                )
+            ),
+        )
+    )
+    job.data.labels.skeletons = [skel]
+    assert not job.data.preprocessing.ensure_grayscale
+    assert not job.data.preprocessing.ensure_rgb
+
+    run = tmp_path / "run"
+    run.mkdir()
+    job.save_json(str(run / "training_config.json"))
+    model = Model.from_config(job.model, skeleton=skel, update_config=True)
+    _, variables = model.init(jax.random.PRNGKey(0), (32, 32, 3))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(str(run / "best_model.ckpt")), variables, force=True)
+    ckptr.wait_until_finished()
+
+    tm = load_trained_model(str(run))
+    assert tm.input_channels == 3
+    assert not tm.grayscale

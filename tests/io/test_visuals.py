@@ -125,3 +125,107 @@ def test_sleap_render_cli(preds_labels, centered_pair_predictions_slp, tmp_path)
         ]
     )
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+def test_pipelined_matches_serial(preds_labels, tmp_path):
+    """The reader->marker->writer pipeline writes the same frames in the
+    same order as the serial path (including the stateful crop smoothing)."""
+    frames = sorted(lf.frame_idx for lf in preds_labels.labeled_frames)[:40]
+
+    def render(pipelined, name):
+        out = tmp_path / name
+        visuals.save_labeled_video(
+            str(out), preds_labels, frames=frames, scale=0.5,
+            crop_size_xy=(96, 96), pipelined=pipelined,
+        )
+        from sleap_tpu.io.video import Video
+
+        v = Video.from_filename(str(out))
+        arr = np.stack([v.get_frame(i) for i in range(v.num_frames)])
+        return arr
+
+    a = render(False, "serial.avi")
+    b = render(True, "pipelined.avi")
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_overlaps_stages(preds_labels, monkeypatch, tmp_path):
+    """Structural throughput check: with decode and encode each sleeping
+    (GIL-released, like real cv2 IO), the pipeline must overlap them —
+    serial time ~ frames*(decode+encode), pipelined ~ frames*max(...).
+    Sleep-based so it holds on the single-core CI."""
+    import time
+
+    from sleap_tpu.io import videowriter
+
+    video = preds_labels.videos[0]
+    all_frames = sorted(lf.frame_idx for lf in preds_labels.labeled_frames)
+    frames = (all_frames * 3)[:60]
+    img = video.get_frame(frames[0])
+    delay = 0.008
+    # Fine-grained chunks so the pipeline fill/drain tail is small relative
+    # to the 60-frame run.
+    monkeypatch.setattr(visuals, "_RENDER_CHUNK", 4)
+
+    class SlowVideo:
+        height, width = video.height, video.width
+
+        def get_frame(self, fi):
+            time.sleep(delay)
+            return img
+
+    class SlowWriter:
+        def __init__(self):
+            self.n = 0
+
+        def add_frame(self, f, bgr=True):
+            time.sleep(delay)
+            self.n += 1
+
+        def close(self):
+            pass
+
+    writers = []
+
+    def fake_builder(*a, **k):
+        w = SlowWriter()
+        writers.append(w)
+        return w
+
+    monkeypatch.setattr(
+        videowriter.VideoWriter, "safe_builder", staticmethod(fake_builder)
+    )
+    monkeypatch.setattr(
+        visuals.VideoWriter, "safe_builder", staticmethod(fake_builder)
+    )
+
+    def run(pipelined):
+        t0 = time.perf_counter()
+        visuals.save_labeled_video(
+            str(tmp_path / "x.avi"), preds_labels, video=SlowVideo(),
+            frames=frames, pipelined=pipelined,
+        )
+        return time.perf_counter() - t0
+
+    t_serial = run(False)
+    t_pipe = run(True)
+    assert writers[0].n == len(frames) and writers[1].n == len(frames)
+    # Ideal ratio is 2.0 (two equal sleeping stages); require a solid margin
+    # over no-overlap while absorbing scheduler noise.
+    assert t_pipe < 0.75 * t_serial, (t_serial, t_pipe)
+
+
+def test_pipelined_propagates_errors(preds_labels, tmp_path, monkeypatch):
+    video = preds_labels.videos[0]
+    frames = sorted(lf.frame_idx for lf in preds_labels.labeled_frames)[:8]
+
+    def boom(fi, img):
+        raise RuntimeError("marker failure")
+
+    # Patch render_frame (inside the mark closure) to fail.
+    monkeypatch.setattr(visuals, "render_frame", lambda *a, **k: boom(None, None))
+    with pytest.raises(RuntimeError, match="marker failure"):
+        visuals.save_labeled_video(
+            str(tmp_path / "err.avi"), preds_labels, video=video,
+            frames=frames, pipelined=True,
+        )
