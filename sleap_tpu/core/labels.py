@@ -81,21 +81,12 @@ class Labels(MutableSequence):
     def __len__(self) -> int:
         return len(self.labeled_frames)
 
-    def __getitem__(self, key):
-        if isinstance(key, int):
-            return self.labeled_frames[key]
-        if isinstance(key, slice):
-            return self.labeled_frames[key]
-        if isinstance(key, Video):
-            return self.find(video=key)
-        if isinstance(key, tuple) and len(key) == 2 and isinstance(key[0], Video):
-            if np.isscalar(key[1]):
-                out = self.find(video=key[0], frame_idx=int(key[1]))
-                return out[0] if out else None
-            return self.find(video=key[0], frame_idx=key[1])
-        if isinstance(key, (list, np.ndarray)):
-            return [self.labeled_frames[int(i)] for i in key]
-        raise KeyError(f"Invalid label indexing arguments: {key!r}")
+    def __getitem__(self, key, *secondary_key):
+        """Safe indexing (reference dataset.py:636): delegates to :meth:`get`
+        without kwargs, so missing lookups return ``None`` rather than raise
+        (except plain out-of-range ints, which raise IndexError so sequence
+        iteration terminates)."""
+        return self.get(key, *secondary_key)
 
     def __setitem__(self, i: int, value: LabeledFrame) -> None:
         self.labeled_frames[i] = value
@@ -106,22 +97,46 @@ class Labels(MutableSequence):
         self.update_cache()
 
     def __contains__(self, item) -> bool:
+        """Membership across frames/videos/skeletons/nodes and
+        ``(Video, frame_idx)`` pairs (reference dataset.py:609)."""
         if isinstance(item, LabeledFrame):
             return item in self.labeled_frames
         if isinstance(item, Video):
             return item in self.videos
         if isinstance(item, Skeleton):
             return item in self.skeletons
-        if isinstance(item, tuple) and len(item) == 2:
-            return bool(self.find(video=item[0], frame_idx=item[1]))
-        return False
+        if isinstance(item, Node):
+            return any(item in skel.nodes for skel in self.skeletons)
+        if (
+            isinstance(item, tuple)
+            and len(item) == 2
+            and isinstance(item[0], Video)
+            and isinstance(item[1], (int, np.integer))
+        ):
+            return bool(self.find(video=item[0], frame_idx=int(item[1])))
+        raise ValueError("Item is not an object type contained in labels.")
 
     def insert(self, index: int, value: LabeledFrame) -> None:
+        """Insert a frame unless that frame — or another frame at the same
+        ``(video, frame_idx)`` — is already present (reference
+        dataset.py:867)."""
+        if value in self.labeled_frames:
+            return
+        if (
+            value.video is not None
+            and value.frame_idx is not None
+            and (value.video, int(value.frame_idx)) in self
+        ):
+            return
         self.labeled_frames.insert(index, value)
-        self.update_cache()
+        self._register_frame(value)
 
     def append(self, value: LabeledFrame) -> None:
-        self.labeled_frames.append(value)
+        """Add a frame (no-op on ``(video, frame_idx)`` duplicates, like the
+        reference's append -> insert path, dataset.py:875)."""
+        self.insert(len(self.labeled_frames), value)
+
+    def _register_frame(self, value: LabeledFrame) -> None:
         if value.video is not None and value.video not in self.videos:
             self.videos.append(value.video)
         for inst in value.instances:
@@ -173,18 +188,78 @@ class Labels(MutableSequence):
         return out[-1] if out else None
 
     def frames(self, video: Video, from_frame_idx: int = -1, reverse: bool = False):
-        """Iterate frames of a video ordered by frame index."""
+        """Iterate ALL of a video's frames, rotated to start just after
+        (before, if ``reverse``) ``from_frame_idx`` and wrapping around —
+        the reference's ``find_fancy_frame_idxs`` semantics
+        (dataset.py:963, cache find_fancy_frame_idxs:158)."""
         frames = self.find(video)
+        if not frames:
+            return
+        idxs = [f.frame_idx for f in frames]
         if reverse:
-            frames = [f for f in reversed(frames) if f.frame_idx < from_frame_idx]
+            start = max(
+                (i for i in idxs if i < from_frame_idx), default=idxs[-1]
+            )
         else:
-            frames = [f for f in frames if f.frame_idx > from_frame_idx]
-        yield from frames
+            start = min(
+                (i for i in idxs if i > from_frame_idx), default=idxs[0]
+            )
+        cut = idxs.index(start)
+        yield from frames[cut:] + frames[:cut]
 
-    def get(self, key, *args, **kwargs):
+    def get(
+        self,
+        key,
+        *secondary_key,
+        use_cache: bool = False,
+        raise_errors: bool = False,
+    ):
+        """Frame lookup matching the reference's ``Labels.get``
+        (dataset.py:676): int/slice/list/array linear indexing, ``Video`` or
+        ``(Video, frame_idx)`` search, ``None`` on missing keys unless
+        ``raise_errors``. ``use_cache`` selects the cached index over a
+        linear scan (both give identical results here; kept for API parity).
+        """
         try:
-            return self.__getitem__(key, *args, **kwargs)
-        except (KeyError, IndexError):
+            if secondary_key:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                key = key + tuple(secondary_key)
+
+            if isinstance(key, slice):
+                key = range(*key.indices(len(self)))
+            elif isinstance(key, (np.integer, np.ndarray)):
+                key = key.tolist()
+
+            if isinstance(key, int):
+                return self.labeled_frames[key]
+            if isinstance(key, Video):
+                if key not in self.videos:
+                    raise KeyError("Video not found in labels.")
+                return self.find(video=key)
+            if isinstance(key, tuple) and len(key) == 2 and isinstance(key[0], Video):
+                if key[0] not in self.videos:
+                    raise KeyError("Video not found in labels.")
+                if isinstance(key[1], (np.integer, np.ndarray)):
+                    key = (key[0], key[1].tolist())
+                if isinstance(key[1], int):
+                    hit = self.find_first(
+                        video=key[0], frame_idx=key[1], use_cache=use_cache
+                    )
+                    if hit is None:
+                        raise KeyError(
+                            f"No label found for specified video at frame {key[1]}."
+                        )
+                    return hit
+                if isinstance(key[1], (list, range)):
+                    return self.find(video=key[0], frame_idx=key[1])
+                raise KeyError("Invalid label indexing arguments.")
+            if isinstance(key, (list, range)):
+                return [self.get(int(i), raise_errors=True) for i in key]
+            raise KeyError("Invalid label indexing arguments.")
+        except KeyError:
+            if raise_errors:
+                raise
             return None
 
     # ------------------------------------------------------------------ #
@@ -211,12 +286,33 @@ class Labels(MutableSequence):
         return [inst for lf in self.labeled_frames for inst in lf.predicted_instances]
 
     @property
-    def skeleton(self) -> Optional[Skeleton]:
-        return self.skeletons[0] if self.skeletons else None
+    def labels(self) -> List[LabeledFrame]:
+        """Alias for ``labeled_frames`` (reference dataset.py:553)."""
+        return self.labeled_frames
 
     @property
-    def video(self) -> Optional[Video]:
-        return self.videos[0] if self.videos else None
+    def skeleton(self) -> Skeleton:
+        """The single skeleton; raises if ambiguous (reference
+        dataset.py:558)."""
+        if len(self.skeletons) == 1:
+            return self.skeletons[0]
+        raise ValueError(
+            "Labels.skeleton can only be used when there is only a single "
+            "skeleton saved in the labels. Use Labels.skeletons instead."
+        )
+
+    @property
+    def video(self) -> Video:
+        """The single video; raises if none or ambiguous (reference
+        dataset.py:569)."""
+        if len(self.videos) == 0:
+            raise ValueError("There are no videos in the labels.")
+        if len(self.videos) == 1:
+            return self.videos[0]
+        raise ValueError(
+            "Labels.video can only be used when there is only a single video "
+            "saved in the labels. Use Labels.videos instead."
+        )
 
     @property
     def has_missing_videos(self) -> bool:
@@ -637,11 +733,44 @@ class Labels(MutableSequence):
         self.labeled_frames = [lf for lf in self.labeled_frames if len(lf.instances) > 0]
         self.update_cache()
 
-    def remove_predictions(self, new_labels: Optional["Labels"] = None) -> None:
+    def remove_empty_instances(self, keep_empty_frames: bool = True) -> None:
+        """Remove instances with no visible points (reference
+        dataset.py:909)."""
         for lf in self.labeled_frames:
-            for inst in list(lf.predicted_instances):
-                lf.remove_instance(inst)
-        self.remove_empty_frames()
+            lf.remove_empty_instances()
+        self.update_cache()
+        if not keep_empty_frames:
+            self.remove_empty_frames()
+
+    def remove_user_instances(self, new_labels: Optional["Labels"] = None) -> None:
+        """Clear user instances; frames left with no predictions are dropped.
+        With ``new_labels``, only frames that also exist there are touched
+        (reference dataset.py:1682)."""
+        keep_lfs = []
+        for lf in self.labeled_frames:
+            if new_labels is not None and not new_labels.has_frame(lf):
+                keep_lfs.append(lf)
+                continue
+            if lf.has_predicted_instances:
+                lf.instances = lf.predicted_instances
+                keep_lfs.append(lf)
+        self.labeled_frames = keep_lfs
+        self.update_cache()
+
+    def remove_predictions(self, new_labels: Optional["Labels"] = None) -> None:
+        """Clear predicted instances; frames left with no user instances are
+        dropped. With ``new_labels``, only frames that also exist there are
+        touched (reference dataset.py:1718)."""
+        keep_lfs = []
+        for lf in self.labeled_frames:
+            if new_labels is not None and not new_labels.has_frame(lf):
+                keep_lfs.append(lf)
+                continue
+            if lf.has_user_instances:
+                lf.instances = lf.user_instances
+                keep_lfs.append(lf)
+        self.labeled_frames = keep_lfs
+        self.update_cache()
 
     def remove_untracked_instances(self, remove_empty_frames: bool = True) -> None:
         for lf in self.labeled_frames:
@@ -724,48 +853,71 @@ class Labels(MutableSequence):
     # ------------------------------------------------------------------ #
     def numpy(
         self,
-        video: Optional[Video] = None,
+        video: Optional[Union[Video, int]] = None,
         all_frames: bool = True,
         untracked: bool = False,
         return_confidence: bool = False,
     ) -> np.ndarray:
-        """(frames, tracks, nodes, 2) array of tracked points; with
+        """(frames, tracks, nodes, 2) float32 array of instance points; with
         ``return_confidence`` the last axis is 3 (x, y, point score).
 
-        Reference analog: dataset.py ``Labels.numpy``.
+        Reference semantics (dataset.py:2442): ``video`` may be a Video or
+        an index (default: first video); with ``all_frames`` the array spans
+        the FULL video length, else the labeled range. Frames with user
+        instances export ONLY those (user preferred over predictions).
+        Single-instance data is exported untracked automatically. User
+        instances have NaN confidence.
         """
-        video = video or self.video
+        try:
+            if video is None:
+                video = self.videos[0]
+            if isinstance(video, int):
+                video = self.videos[video]
+        except IndexError:
+            raise IndexError(
+                "There are no videos in this project. No points matrix to "
+                "return."
+            )
         lfs = self.find(video)
         n_cols = 3 if return_confidence else 2
         if not lfs:
-            return np.zeros((0, 0, 0, n_cols))
-        first_idx = 0 if all_frames else min(lf.frame_idx for lf in lfs)
-        last_idx = max(lf.frame_idx for lf in lfs)
-        n_frames = last_idx - first_idx + 1
-        skeleton = self.skeleton
-        n_nodes = skeleton.n_nodes if skeleton else 0
-        if untracked:
-            n_tracks = max((len(lf.instances) for lf in lfs), default=0)
-        else:
-            tracks = [t for t in self.tracks]
-            n_tracks = len(tracks)
-        out = np.full((n_frames, n_tracks, n_nodes, n_cols), np.nan, dtype="f8")
+            return np.zeros((0, 0, 0, n_cols), dtype="float32")
+        frame_idxs = sorted(lf.frame_idx for lf in lfs)
+        first_frame = 0 if all_frames else frame_idxs[0]
+        last_frame = (video.num_frames - 1) if all_frames else frame_idxs[-1]
+        n_insts = max(
+            lf.n_user_instances if lf.n_user_instances > 0
+            else lf.n_predicted_instances
+            for lf in lfs
+        )
+        untracked = untracked or n_insts == 1
+        n_tracks = n_insts if untracked else len(self.tracks)
+        n_frames = last_frame - first_frame + 1
+        n_nodes = self.skeleton.n_nodes
+        out = np.full(
+            (n_frames, n_tracks, n_nodes, n_cols), np.nan, dtype="float32"
+        )
 
         def fill(fi, j, inst):
             out[fi, j, :, :2] = inst.numpy()
-            if return_confidence:
-                scores = getattr(inst, "scores", None)
-                out[fi, j, :, 2] = scores if scores is not None else 0.0
+            if return_confidence and isinstance(inst, PredictedInstance):
+                out[fi, j, :, 2] = inst.scores
 
         for lf in lfs:
-            fi = lf.frame_idx - first_idx
+            fi = lf.frame_idx - first_frame
+            lf_insts = (
+                lf.user_instances
+                if lf.n_user_instances > 0
+                else lf.predicted_instances
+            )
             if untracked:
-                for j, inst in enumerate(lf.instances[:n_tracks]):
+                for j, inst in enumerate(lf_insts[:n_tracks]):
                     fill(fi, j, inst)
             else:
-                for inst in lf.instances:
-                    if inst.track is not None and inst.track in tracks:
-                        fill(fi, tracks.index(inst.track), inst)
+                for inst in lf_insts:
+                    if inst.track is None:
+                        continue
+                    fill(fi, self.tracks.index(inst.track), inst)
         return out
 
     def describe(self) -> None:

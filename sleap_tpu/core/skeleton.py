@@ -110,11 +110,10 @@ class Skeleton:
     def __contains__(self, node_name: str) -> bool:
         return self.has_node(node_name)
 
-    def __eq__(self, other: object) -> bool:
-        if not isinstance(other, Skeleton):
-            return NotImplemented
-        return self.matches(other)
-
+    # NOTE: equality is IDENTITY, like the reference (skeleton.py defines no
+    # __eq__ and hashes by id, skeleton.py:1771). Distinct-but-identical
+    # skeletons must NOT merge in Labels registries; use :meth:`matches` for
+    # structural comparison.
     def __hash__(self) -> int:
         return id(self)
 

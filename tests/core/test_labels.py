@@ -113,10 +113,17 @@ def test_find_variants(skeleton, video):
 
 def test_frames_iterator(skeleton, video):
     labels = make_labels(skeleton, video)
-    assert [lf.frame_idx for lf in labels.frames(video, from_frame_idx=1)] == [2, 3]
+    # Reference semantics: ALL frames, rotated to start just after (before,
+    # if reverse) from_frame_idx, wrapping (dataset.py find_fancy_frame_idxs).
+    assert [lf.frame_idx for lf in labels.frames(video, from_frame_idx=1)] == [
+        2,
+        3,
+        0,
+        1,
+    ]
     assert [
         lf.frame_idx for lf in labels.frames(video, from_frame_idx=2, reverse=True)
-    ] == [1, 0]
+    ] == [1, 2, 3, 0]
 
 
 def test_instance_views(skeleton, video):
@@ -212,39 +219,78 @@ def test_with_user_labels_only(skeleton, video):
     )
 
 
+def make_pred_labels(skeleton, video, n_frames=4, n_tracks=2):
+    """Prediction-only frames with per-track points (no user instances)."""
+    tracks = [Track(name=f"t{i}") for i in range(n_tracks)]
+    lfs = []
+    for fi in range(n_frames):
+        insts = [
+            PredictedInstance.from_arrays(
+                np.array([[10.0 * t + fi, 0.0], [10.0 * t + fi, 1.0]]),
+                np.array([0.5, 0.6]),
+                0.9,
+                skeleton,
+                track=tracks[t],
+            )
+            for t in range(n_tracks)
+        ]
+        lfs.append(LabeledFrame(video=video, frame_idx=fi, instances=insts))
+    return Labels(labeled_frames=lfs)
+
+
 def test_numpy_tracked(skeleton, video):
+    labels = make_pred_labels(skeleton, video)
+    # all_frames=True spans the FULL video (8 frames), reference semantics.
+    arr = labels.numpy()
+    assert arr.shape == (8, 2, 2, 2)
+    assert arr.dtype == np.float32
+    np.testing.assert_allclose(arr[2, 0, 0], [2.0, 0.0])
+    np.testing.assert_allclose(arr[3, 1, 0], [13.0, 0.0])
+    assert np.isnan(arr[4:]).all()
+    # all_frames=False spans only the labeled range.
+    assert labels.numpy(all_frames=False).shape == (4, 2, 2, 2)
+    # Video may be passed by index.
+    assert labels.numpy(video=0).shape == (8, 2, 2, 2)
+
+
+def test_numpy_prefers_user_instances(skeleton, video):
+    # Frames with user instances export ONLY those (user > predicted), and
+    # single-instance data is auto-untracked (n_tracks=1).
     labels = make_labels(skeleton, video)
     arr = labels.numpy()
-    assert arr.shape == (4, 2, 2, 2)
-    # Track 0 = user instances at x=frame_idx.
+    assert arr.shape == (8, 1, 2, 2)
     np.testing.assert_allclose(arr[2, 0, 0], [2.0, 0.0])
-    # Track 1 = predictions at x=10+frame_idx.
-    np.testing.assert_allclose(arr[3, 1, 0], [13.0, 0.0])
 
 
 def test_numpy_confidence_channel(skeleton, video):
-    labels = make_labels(skeleton, video)
+    labels = make_pred_labels(skeleton, video)
     arr = labels.numpy(return_confidence=True)
-    assert arr.shape == (4, 2, 2, 3)
-    # User instances have 0 confidence; predictions carry their scores.
-    assert arr[0, 0, 0, 2] == 0.0
+    assert arr.shape == (8, 2, 2, 3)
     assert arr[0, 1, 0, 2] == pytest.approx(0.5)
+    # User instances carry NaN confidence.
+    labels2 = make_labels(skeleton, video)
+    arr2 = labels2.numpy(return_confidence=True)
+    assert np.isnan(arr2[0, 0, 0, 2])
 
 
 def test_numpy_untracked_mode(skeleton, video):
-    labels = make_labels(skeleton, video)
+    labels = make_pred_labels(skeleton, video)
     for lf in labels:
         for inst in lf.instances:
             inst.track = None
     labels.tracks = []
     arr = labels.numpy(untracked=True)
-    assert arr.shape == (4, 2, 2, 2)
+    assert arr.shape == (8, 2, 2, 2)
     assert not np.isnan(arr).all()
+    # Tracked mode with no tracks -> zero track columns.
+    assert labels.numpy(untracked=False).shape == (8, 0, 2, 2)
 
 
 def test_numpy_empty_video(skeleton, video):
-    labels = Labels()
+    labels = Labels(videos=[video])
     assert labels.numpy(video=video).shape == (0, 0, 0, 2)
+    with pytest.raises(IndexError):
+        Labels().numpy()
 
 
 def test_add_remove_video(skeleton, video):

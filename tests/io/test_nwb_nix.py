@@ -53,8 +53,9 @@ def tracked_labels():
 
 
 def test_labels_numpy_return_confidence(tracked_labels):
+    # all_frames=True spans the full 4-frame video (reference semantics).
     arr = tracked_labels.numpy(return_confidence=True)
-    assert arr.shape == (3, 2, 3, 3)
+    assert arr.shape == (4, 2, 3, 3)
     np.testing.assert_allclose(arr[0, 0, :, 2], 0.9)
     np.testing.assert_allclose(arr[1, 1, :, :2], 21.0)
 
@@ -93,7 +94,7 @@ def test_pose_arrays_untracked():
     labels = Labels(lfs)
     arr, untracked = labels_to_pose_arrays(labels, video)
     assert untracked
-    assert arr.shape == (1, 1, 1, 3)
+    assert arr.shape == (2, 1, 1, 3)  # full 2-frame video span
     out = tracks_numpy_to_labeled_frames(arr[..., :2], arr[..., 2], False, video, skel)
     assert out[0].instances[0].track is None
 

@@ -135,7 +135,7 @@ def test_pretrained_encoder_builds():
     model = Model.from_config(c)
     assert model.backbone.maximum_stride == 32
     c.backbone.pretrained_encoder.encoder = "senet154"
-    with pytest.raises(ValueError, match="Unsupported encoder"):
+    with pytest.raises(ValueError, match="nearest supported family"):
         Model.from_config(c)
 
 
