@@ -126,9 +126,21 @@ def size_match_image(
 
 
 def build_example(
-    lf, labels: Labels, max_instances: int, target_hw: Optional[Tuple[int, int]] = None
+    lf,
+    labels: Labels,
+    max_instances: int,
+    target_hw: Optional[Tuple[int, int]] = None,
+    class_names: Optional[List[str]] = None,
 ) -> Optional[Dict[str, np.ndarray]]:
-    """Decode one labeled frame into a training example dict (or None)."""
+    """Decode one labeled frame into a training example dict (or None).
+
+    ``track_inds`` index into ``class_names`` when given (the model head's
+    class list — the order the class-maps/-vectors channels are trained
+    against), else into ``labels.tracks``. Mapping by NAME matters: a split's
+    ``labels.tracks`` order need not match the config's class order
+    (reference identity.py keys class channels off the configured class
+    list).
+    """
     insts = lf.training_instances
     if not insts:
         return None
@@ -143,7 +155,12 @@ def build_example(
     tracks = np.full(max_instances, -1, "i4")
     for i, inst in enumerate(insts[:max_instances]):
         pts[i] = inst.numpy() * scale
-        if inst.track is not None and inst.track in labels.tracks:
+        if inst.track is None:
+            continue
+        if class_names is not None:
+            if inst.track.name in class_names:
+                tracks[i] = class_names.index(inst.track.name)
+        elif inst.track in labels.tracks:
             tracks[i] = labels.tracks.index(inst.track)
     return {"image": img, "instances": pts, "track_inds": tracks}
 
@@ -152,11 +169,12 @@ def preload_examples(
     labels: Labels,
     max_instances: int,
     target_hw: Optional[Tuple[int, int]] = None,
+    class_names: Optional[List[str]] = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Decode all labeled frames into memory (reference Preloader)."""
     examples = []
     for lf in labels.labeled_frames:
-        ex = build_example(lf, labels, max_instances, target_hw)
+        ex = build_example(lf, labels, max_instances, target_hw, class_names)
         if ex is not None:
             examples.append(ex)
     return examples
@@ -173,10 +191,12 @@ class LazyExamples:
         labels: Labels,
         max_instances: int,
         target_hw: Optional[Tuple[int, int]] = None,
+        class_names: Optional[List[str]] = None,
     ):
         self.labels = labels
         self.max_instances = max_instances
         self.target_hw = target_hw
+        self.class_names = class_names
         self._lfs = [lf for lf in labels.labeled_frames if lf.training_instances]
 
     def __len__(self) -> int:
@@ -184,7 +204,11 @@ class LazyExamples:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         ex = build_example(
-            self._lfs[i], self.labels, self.max_instances, self.target_hw
+            self._lfs[i],
+            self.labels,
+            self.max_instances,
+            self.target_hw,
+            self.class_names,
         )
         if ex is None:
             raise RuntimeError(
@@ -378,6 +402,16 @@ class Trainer:
     def head_config(self):
         return self.config.model.heads.which_oneof
 
+    def _head_class_names(self) -> Optional[List[str]]:
+        """Class list of the identity head, if any — the channel order that
+        ``track_inds`` must index (reference identity.py class maps/vectors
+        are keyed off the configured class list, not labels.tracks order)."""
+        for head in self.model.heads:
+            names = getattr(head, "classes", None)
+            if names:
+                return list(names)
+        return None
+
     @property
     def keras_model(self):
         return self.module  # API-compat alias
@@ -426,11 +460,18 @@ class Trainer:
             if self.config.optimization.preload_data
             else LazyExamples
         )
+        class_names = self._head_class_names()
         self._train_examples = maker(
-            self.data_readers.training_labels, self._max_instances, target_hw
+            self.data_readers.training_labels,
+            self._max_instances,
+            target_hw,
+            class_names,
         )
         self._val_examples = maker(
-            self.data_readers.validation_labels, self._max_instances, target_hw
+            self.data_readers.validation_labels,
+            self._max_instances,
+            target_hw,
+            class_names,
         )
         if not len(self._train_examples):
             raise ValueError("No trainable examples found.")

@@ -61,8 +61,11 @@ FIXTURES = {
     "minimal_instance.UNet.centered_instance": None,
     "minimal_instance.UNet.centroid": None,
     "minimal_robot.UNet.single_instance": 30,
-    "min_tracks_2node.UNet.bottomup_multiclass": 30,
-    "min_tracks_2node.UNet.topdown_multiclass": 30,
+    # The identity heads (sigmoid + MSE on ~0.2%-positive class maps) need
+    # the config's full 200-epoch plateau schedule to escape the
+    # all-zeros saturation plateau; 30 epochs measurably under-trains them.
+    "min_tracks_2node.UNet.bottomup_multiclass": None,
+    "min_tracks_2node.UNet.topdown_multiclass": None,
 }
 
 
