@@ -496,48 +496,125 @@ def bench_tracking_e2e(n_frames=1024, n_segments=8):
     return result
 
 
-def bench_sharded(batch_per_chip=4, n_iters=8):
+def bench_sharded(batch_per_chip=4, n_iters=25, inner=4):
     """shard_map inference on REAL TPU hardware (1-device mesh).
 
     The CPU-mesh equality tests (tests/test_parallel.py) prove the sharding
     math; this proves the Pallas kernels compile and execute *under
     shard_map on an actual TPU* — interpret-mode CPU Pallas does not
-    exercise the Mosaic lowering. Runs the full single-instance pipeline
-    (forward + fused peak finding) through ``sharded_infer_fn`` on a
-    ``Mesh(jax.devices()[:1], ("data", "spatial"))`` and reports FPS plus a
-    finite-output check.
+    exercise the Mosaic lowering. The full single-instance pipeline
+    (forward + fused peak finding) runs under ``jax.shard_map`` on a
+    ``Mesh(jax.devices()[:1], ("data", "spatial"))`` INSIDE the same
+    chained on-device fori_loop as every other bench, so the number is true
+    per-batch device time (no per-call tunnel sync). An unsharded run of
+    the identical traceable at the same config is reported alongside: the
+    ratio shows the sharding wrapper's per-step overhead.
     """
-    from sleap_tpu.parallel.distributed import sharded_infer_fn
+    from jax.sharding import PartitionSpec as P
+
     from sleap_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(n_devices=1)
     predictor = build_single_instance_predictor(batch=batch_per_chip, input_hw=192)
-    infer = sharded_infer_fn(predictor._build_infer_fn(), mesh)
+    traceable = predictor._build_infer_fn().__wrapped__
+    sharded = jax.shard_map(
+        traceable,
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    # One eager call for the finite-output / shape proof.
     rng = np.random.default_rng(0)
     images = rng.integers(0, 255, (batch_per_chip, 192, 192, 1), np.uint8)
-    out = infer(images)  # compile + warmup
+    out = jax.jit(sharded)(images)
     peaks = np.asarray(out["instance_peaks"])
     ok = (
         bool(np.isfinite(np.asarray(out["instance_peak_vals"])).all())
         and peaks.shape[0] == batch_per_chip
     )
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = infer(images)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    fps = n_iters * batch_per_chip / elapsed
+
+    fps, _ = bench_infer_fps(sharded, batch_per_chip, 192, n_iters=n_iters, inner=inner)
+    fps_plain, _ = bench_infer_fps(
+        traceable, batch_per_chip, 192, n_iters=n_iters, inner=inner
+    )
     return {
         "metric": "sharded_infer_tpu_1dev_fps_192",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "pallas_under_shard_map_on_tpu": ok,
+        "unsharded_same_config_fps": round(fps_plain, 2),
+        "sharded_over_unsharded": round(fps / max(fps_plain, 1e-9), 3),
         "mesh": f"{dict(mesh.shape)}",
         "device": str(jax.devices()[0].platform),
-        "note": "per-call host sync over the device tunnel dominates this "
-        "FPS; the metric's point is the pallas_under_shard_map_on_tpu proof "
-        "(headline throughput configs use the chained on-device loop)",
+    }
+
+
+def bench_tracking_trained():
+    """sleap-track realism check: a TRAINED bottom-up mini over a real clip.
+
+    Unlike bench_tracking_e2e (synthetic weights + floored thresholds, by
+    design deterministic), this runs the actual production path — host video
+    decode, batched device inference with default thresholds, flow tracking —
+    with trained weights on the reference's centered-pair fixture clip
+    (1100 frames @384², 2 animals), and sanity-checks the track count.
+    Model resolution order: $SLEAP_TPU_TRAINED_BOTTOMUP, the
+    convergence-run own-trained mini, then the reference's committed
+    fixture model (loaded through the keras-h5 reader).
+    """
+    from sleap_tpu.inference.predictors import load_model
+
+    candidates = [
+        os.environ.get("SLEAP_TPU_TRAINED_BOTTOMUP"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".convergence_runs",
+            "minimal_instance.UNet.bottomup",
+        ),
+        "/root/reference/tests/data/models/minimal_instance.UNet.bottomup",
+    ]
+    model_dir = next(
+        (c for c in candidates if c and os.path.isdir(c)), None
+    )
+    if model_dir is None:
+        return {
+            "metric": "tracking_trained_e2e_fps_384",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "note": "no trained bottomup model available",
+        }
+    video_path = "/root/reference/tests/data/videos/centered_pair_small.mp4"
+    predictor = load_model(
+        model_dir, batch_size=64, tracker="flow", tracker_max_instances=2
+    )
+    # Warmup pass: first predict() compiles the batch graph (and pays the
+    # tail-batch shape's compile too); the timed pass measures the pipeline.
+    predictor.predict(video_path)
+    from sleap_tpu.tracking.tracker import Tracker
+
+    predictor.tracker = Tracker.make_tracker_by_name(
+        tracker="flow", max_tracks=2
+    )  # fresh identity state for the timed pass
+    t0 = time.perf_counter()
+    labels = predictor.predict(video_path)
+    elapsed = time.perf_counter() - t0
+    n_frames = 1100
+    fps = n_frames / elapsed
+    n_tracks = len(labels.tracks)
+    n_instances = sum(len(lf.instances) for lf in labels)
+    return {
+        "metric": "tracking_trained_e2e_fps_384",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "model": model_dir,
+        "n_tracks": n_tracks,
+        "n_instances": n_instances,
+        "note": "host decode + device inference + flow tracking, trained "
+        "weights, default thresholds (production sleap-track path)",
     }
 
 
@@ -797,10 +874,11 @@ def main():
         "train": bench_train,
         "streaming": bench_streaming,
         "sharded": bench_sharded,
+        "tracking_trained": bench_tracking_trained,
     }
     order = (
-        ["topdown", "bottomup", "latency", "single", "tracking", "train",
-         "streaming", "sharded"]
+        ["topdown", "bottomup", "latency", "single", "tracking",
+         "tracking_trained", "train", "streaming", "sharded"]
         if which == "all"
         else [which]
     )
