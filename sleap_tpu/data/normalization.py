@@ -46,9 +46,29 @@ def ensure_float(image: jnp.ndarray) -> jnp.ndarray:
     return image.astype(jnp.float32)
 
 
+def ensure_int(image: jnp.ndarray) -> jnp.ndarray:
+    """Float images -> uint8; [0, 1]-ranged floats are scaled to [0, 255]
+    first, wider-ranged floats are cast directly (truncating), integer
+    images pass through (reference normalization.py:52).
+
+    jit-safe: the range check is a traced select, not a Python branch.
+    """
+    if not jnp.issubdtype(image.dtype, jnp.floating):
+        return image
+    scaled = jnp.where(image.max() <= 1.0, image * 255.0, image)
+    return jnp.clip(scaled, 0, 255).astype(jnp.uint8)
+
+
+def convert_rgb_to_bgr(image: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the channel axis (grayscale is RGB-expanded first;
+    reference normalization.py:117)."""
+    return ensure_rgb(image)[..., ::-1]
+
+
 def ensure_min_image_rank(image: jnp.ndarray) -> jnp.ndarray:
-    """Append a channel axis if missing."""
-    if image.ndim == 3:
+    """Append a channel axis to a rank-2 (H, W) image (reference
+    normalization.py:28)."""
+    if image.ndim == 2:
         return image[..., None]
     return image
 

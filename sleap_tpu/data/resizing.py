@@ -36,17 +36,22 @@ def pad_to_stride(image: jnp.ndarray, max_stride: int) -> jnp.ndarray:
     return jnp.pad(image, pads)
 
 
-def resize_image(image: jnp.ndarray, scale: float) -> jnp.ndarray:
+def resize_image(image: jnp.ndarray, scale) -> jnp.ndarray:
     """Bilinear resize by a scale factor.
 
-    Matches the reference exactly (resizing.py:71-96): new size is the
-    *truncated* ``int(dim * scale)`` and the result is cast back to the input
-    dtype (truncating for integer images).
+    Matches the reference exactly (resizing.py:71-96): ``scale`` is a float
+    or an ``[scale_x, scale_y]`` pair, the new size is the *truncated*
+    ``int(dim * scale)``, and the result is cast back to the input dtype
+    (truncating for integer images).
     """
-    if scale == 1.0:
+    if isinstance(scale, (tuple, list)):
+        scale_x, scale_y = float(scale[0]), float(scale[1])
+    else:
+        scale_x = scale_y = float(scale)
+    if scale_x == 1.0 and scale_y == 1.0:
         return image
     h, w = image.shape[-3], image.shape[-2]
-    new_h, new_w = int(h * scale), int(w * scale)
+    new_h, new_w = int(h * scale_y), int(w * scale_x)
     new_shape = image.shape[:-3] + (new_h, new_w, image.shape[-1])
     resized = jax.image.resize(image.astype(jnp.float32), new_shape, method="bilinear", antialias=False)
     if jnp.issubdtype(image.dtype, jnp.integer):
