@@ -32,6 +32,11 @@ class LabelsReader:
 
     @classmethod
     def from_user_instances(cls, labels: Labels) -> "LabelsReader":
+        """Reader over frames with user instances. Instances with no visible
+        points are removed from ``labels`` IN PLACE first, like the
+        reference (providers.py:42 filters via ``points_array`` visibility);
+        frames left empty are dropped."""
+        labels.remove_empty_instances(keep_empty_frames=False)
         inds = [i for i, lf in enumerate(labels.labeled_frames) if lf.has_user_instances]
         return cls(labels=labels, user_instances_only=True, example_indices=inds)
 
@@ -63,6 +68,12 @@ class LabelsReader:
             max(v.width for v in self.videos),
         )
 
+    @property
+    def is_from_multi_size_videos(self) -> bool:
+        """True when videos differ in frame size (reference providers.py:99)."""
+        sizes = {(v.height, v.width) for v in self.videos}
+        return len(sizes) > 1
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         indices = (
             self.example_indices
@@ -80,16 +91,29 @@ class LabelsReader:
                 lf.training_instances if self.user_instances_only else lf.instances
             )
             gt = (
-                np.stack([inst.numpy() for inst in instances], axis=0)
+                np.stack([inst.numpy() for inst in instances], axis=0).astype(
+                    np.float32
+                )
                 if instances
-                else np.zeros((0, 0, 2))
+                else np.zeros((0, 0, 2), np.float32)
             )
             tracks = [inst.track for inst in instances]
             yield {
                 "image": image,
+                "raw_image_size": np.asarray(image.shape, np.int32),
                 "video_ind": video_ids[id(lf.video)],
                 "frame_ind": lf.frame_idx,
                 "instances": gt,
+                "scale": np.array([1.0, 1.0], np.float32),
+                "skeleton_inds": np.asarray(
+                    [
+                        self.labels.skeletons.index(inst.skeleton)
+                        if inst.skeleton in self.labels.skeletons
+                        else 0
+                        for inst in instances
+                    ],
+                    np.int32,
+                ),
                 "track_inds": [
                     self.labels.tracks.index(t) if t in self.labels.tracks else -1
                     for t in tracks
@@ -136,8 +160,10 @@ class VideoReader:
                 break
             yield {
                 "image": image,
+                "raw_image_size": np.asarray(image.shape, np.int32),
                 "video_ind": 0,
                 "frame_ind": int(i),
+                "scale": np.array([1.0, 1.0], np.float32),
             }
 
 
@@ -182,7 +208,12 @@ def batch_examples(
             "image": np.stack([ex["image"] for ex in buf], axis=0),
             "video_ind": np.array([ex["video_ind"] for ex in buf]),
             "frame_ind": np.array([ex["frame_ind"] for ex in buf]),
-            "scale": np.array([ex.get("scale", 1.0) for ex in buf], "f4"),
+            # Providers carry the reference's per-example (sx, sy) scale pair;
+        # size matching is isotropic here, so batches carry the scalar.
+        "scale": np.array(
+            [np.asarray(ex.get("scale", 1.0), "f4").reshape(-1)[0] for ex in buf],
+            "f4",
+        ),
         }
         return batch, n_valid
 
