@@ -49,6 +49,13 @@ def make_pred_point(
     return np.array([(x, y, visible, complete, score)], dtype=PRED_POINT_DTYPE)[0]
 
 
+# Reference-name aliases (reference instance.py:37,98 classes Point /
+# PredictedPoint): our points are structured-array records, and these
+# factories accept the same (x, y, visible, complete[, score]) signature.
+Point = make_point
+PredictedPoint = make_pred_point
+
+
 def empty_points(n: int, predicted: bool = False) -> np.ndarray:
     """Structured point array of length ``n`` with NaN/invisible entries."""
     dtype = PRED_POINT_DTYPE if predicted else POINT_DTYPE
@@ -95,9 +102,43 @@ class Instance:
         self.track = track
         self.from_predicted = from_predicted
         self.frame = frame
-        self.points = self._coerce_points(points)
+        self._nodes_snapshot: List[Node] = []
+        self.points = points
 
     # ------------------------------------------------------------------ #
+    # Point storage: index-aligned to the skeleton, lazily realigned.
+    #
+    # The reference keys points by Node OBJECT (per-instance dicts,
+    # instance.py:344), so mutating the skeleton (add/delete/relabel node)
+    # never desyncs instances. Our structured array is index-aligned for
+    # speed, so we snapshot the node list at assignment and realign by node
+    # identity whenever the skeleton's node list has changed: kept nodes
+    # keep their rows, new nodes get missing points, deleted rows drop.
+    # Relabeling mutates Node.name in place, so renamed nodes keep points.
+    # ------------------------------------------------------------------ #
+    @property
+    def points(self) -> np.ndarray:
+        nodes = self.skeleton.nodes
+        snap = self._nodes_snapshot
+        if len(nodes) != len(snap) or any(
+            a is not b for a, b in zip(nodes, snap)
+        ):
+            old = self._points
+            index = {id(n): i for i, n in enumerate(snap)}
+            out = empty_points(len(nodes), predicted=self.predicted)
+            for i, n in enumerate(nodes):
+                j = index.get(id(n))
+                if j is not None and j < len(old):
+                    out[i] = old[j]
+            self._points = out
+            self._nodes_snapshot = list(nodes)
+        return self._points
+
+    @points.setter
+    def points(self, value) -> None:
+        self._points = self._coerce_points(value)
+        self._nodes_snapshot = list(self.skeleton.nodes)
+
     def _point_dtype(self) -> np.dtype:
         return POINT_DTYPE
 
@@ -107,10 +148,17 @@ class Instance:
         if points is None:
             return empty_points(n, predicted=self.predicted)
         if isinstance(points, np.ndarray) and points.dtype == dtype:
-            if len(points) != n:
+            if len(points) > n:
                 raise ValueError(
-                    f"Point array length {len(points)} != n_nodes {n}."
+                    f"Point array length {len(points)} > n_nodes {n}."
                 )
+            if len(points) < n:
+                # Fewer rows than nodes: the skeleton gained nodes after
+                # these points were stored (reference point dicts simply
+                # lack the new keys); missing trailing nodes are missing
+                # points.
+                pad = empty_points(n - len(points), predicted=self.predicted)
+                return np.concatenate([points, pad])
             return points.copy()
         if isinstance(points, dict):
             # {node name -> (x, y) | point record}
@@ -122,7 +170,12 @@ class Instance:
                     raise KeyError(f"{name} is not a node in the skeleton.")
                 i = names.index(name)
                 if isinstance(val, np.void):
-                    pts[i] = val
+                    if val.dtype == dtype:
+                        pts[i] = val
+                    else:  # plain Point into predicted points (or reverse)
+                        for field in val.dtype.names:
+                            if field in dtype.names:
+                                pts[i][field] = val[field]
                 else:
                     x, y = val[0], val[1]
                     pts[i] = (

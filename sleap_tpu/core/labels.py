@@ -15,7 +15,13 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
 import attr
 import numpy as np
 
-from sleap_tpu.core.instance import Instance, LabeledFrame, PredictedInstance, Track
+from sleap_tpu.core.instance import (
+    Instance,
+    LabeledFrame,
+    PredictedInstance,
+    Track,
+    empty_points,
+)
 from sleap_tpu.core.skeleton import Node, Skeleton
 from sleap_tpu.io.video import Video
 
@@ -564,16 +570,27 @@ class Labels(MutableSequence):
         to matching base videos (same identifying filename) in place.
         """
         if unify:
-            by_key = {_video_match_key(v): v for v in base_labels.videos}
-            by_key.pop(None, None)
+            by_key = {}
+            for v in base_labels.videos:
+                for key in _video_match_keys(v):
+                    by_key.setdefault(key, v)
+
+            def _find_base_video(video):
+                for key in _video_match_keys(video):
+                    match = by_key.get(key)
+                    if match is not None:
+                        return match
+                return None
+
             for lf in new_labels.labeled_frames:
-                match = by_key.get(_video_match_key(lf.video))
+                match = _find_base_video(lf.video)
                 if match is not None:
                     lf.video = match
             for s in new_labels.suggestions:
-                match = by_key.get(_video_match_key(s.video))
+                match = _find_base_video(s.video)
                 if match is not None:
                     s.video = match
+            _unify_skeletons(base_labels, new_labels)
         merged, extra_base, extra_new = LabeledFrame.complex_merge_between(
             base_labels, new_labels.labeled_frames
         )
@@ -608,7 +625,8 @@ class Labels(MutableSequence):
             if merge_has and base_missing:
                 for field in pts.dtype.names:
                     pts[field][bi] = pts[field][mi]
-            inst.points = np.delete(pts, mi)
+            # (row removal happens automatically when the node is deleted:
+            # Instance.points realigns to the skeleton by node identity)
         for skel in self.skeletons:
             if base_node in skel.node_names and merge_node in skel.node_names:
                 skel.delete_node(merge_node)
@@ -961,16 +979,28 @@ class Labels(MutableSequence):
         filename: str,
         with_images: bool = False,
         embed_all_labeled: bool = False,
+        embed_suggested: bool = False,
         **kwargs,
     ) -> None:
         from sleap_tpu.io import slp
 
         slp.write_labels(
             filename, self, save_frame_data=with_images,
-            all_labeled=embed_all_labeled, **kwargs
+            all_labeled=embed_all_labeled, suggested=embed_suggested, **kwargs
         )
 
     save_file = save
+
+    @classmethod
+    def save_hdf5(cls, labels: "Labels" = None, filename: str = None, **kwargs):
+        """Reference-compatible static saver (reference dataset.py
+        Labels.save_hdf5; keyword order follows the reference's
+        ``save_hdf5(filename=..., labels=...)`` call sites)."""
+        labels.save(filename, **kwargs)
+
+    @classmethod
+    def load_hdf5(cls, filename: str, **kwargs) -> "Labels":
+        return cls.load_file(filename, **kwargs)
 
     def _frame_data_nums(
         self, video, all_labeled: bool, suggested: bool, user_labeled: bool = True
@@ -1075,11 +1105,31 @@ class Labels(MutableSequence):
     def load_file(
         cls,
         filename: str,
-        video_search: Optional[Union[Callable, List[str]]] = None,
+        video_search: Optional[Union[Callable, List[str], bool]] = None,
+        detect_videos: bool = True,
+        search_paths: Optional[Union[str, List[str]]] = None,
         **kwargs,
     ) -> "Labels":
+        """Load a ``.slp`` file.
+
+        ``video_search`` is the low-level hook (callback, path list, or
+        ``False`` to disable fixing). ``detect_videos``/``search_paths``
+        mirror the reference's ``sleap.load_file`` surface
+        (reference __init__.py load_file): with ``detect_videos=False``
+        stored video paths are kept verbatim; ``search_paths`` may be one
+        path or a list (files or directories) to search.
+        """
         from sleap_tpu.io import slp
 
+        if video_search is None:
+            if not detect_videos:
+                video_search = False
+            elif search_paths is not None:
+                video_search = (
+                    [search_paths]
+                    if isinstance(search_paths, str)
+                    else list(search_paths)
+                )
         return slp.read_labels(filename, video_search=video_search)
 
     def __repr__(self) -> str:
@@ -1136,6 +1186,79 @@ def _video_match_key(video):
     if isinstance(fn, str) and fn and fn != "numpy_video":
         return fn
     return None
+
+
+def _video_match_keys(video):
+    """All identities a video can match under: its own filename plus, for
+    training packages with embedded images, the embedded source video's
+    filename (reference labels_json.py:441-455 matches either)."""
+    keys = []
+    key = _video_match_key(video)
+    if key is not None:
+        keys.append(key)
+    backend = getattr(video, "backend", None)
+    if getattr(backend, "has_embedded_images", False):
+        src = getattr(backend, "_source_video_dict", None)
+        if src:
+            fn = src.get("backend", {}).get("filename")
+            if isinstance(fn, str) and fn:
+                keys.append(fn)
+    return keys
+
+
+def _unify_skeletons(base_labels, new_labels) -> None:
+    """Replace skeletons in ``new_labels`` with matching base skeletons
+    (reference labels_json.py:413-438 ``match_to`` semantics).
+
+    Multi-skeleton projects swap only exact structural matches. The common
+    1-vs-1 case matches BY NODE NAME: base gains any unseen nodes, and every
+    new instance is re-keyed onto the base skeleton (its point rows
+    rearranged into base node order, NaN rows for nodes it lacks).
+    """
+    if not base_labels.skeletons or not new_labels.skeletons:
+        return
+
+    def _swap(from_skel, to_skel):
+        from_names = list(from_skel.node_names)
+        to_names = list(to_skel.node_names)
+        for lf in new_labels.labeled_frames:
+            for inst in lf.instances:
+                if inst.skeleton is not from_skel:
+                    continue
+                # Copy rows before the swap (Instance.points lazily realigns
+                # by node identity, and the two skeletons' Node objects are
+                # distinct, so a plain skeleton swap would drop all points);
+                # re-key by NAME into the destination order.
+                pts = inst.points.copy()
+                inst.skeleton = to_skel
+                out = empty_points(to_skel.n_nodes, predicted=inst.predicted)
+                for j, name in enumerate(to_names):
+                    if name in from_names:
+                        out[j] = pts[from_names.index(name)]
+                inst.points = out
+
+    if len(base_labels.skeletons) == 1 and len(new_labels.skeletons) == 1:
+        old = base_labels.skeletons[0]
+        new_skel = new_labels.skeletons[0]
+        if new_skel is old:
+            return
+        old_names = set(old.node_names)
+        for name in new_skel.node_names:
+            if name not in old_names:
+                old.add_node(name)
+        # (base instances realign to the grown skeleton lazily, by node
+        # identity, inside Instance.points)
+        _swap(new_skel, old)
+        new_labels.skeletons[0] = old
+    else:
+        for idx, sk in enumerate(new_labels.skeletons):
+            if sk in base_labels.skeletons:
+                continue
+            for old_sk in base_labels.skeletons:
+                if sk.matches(old_sk):
+                    _swap(sk, old_sk)
+                    new_labels.skeletons[idx] = old_sk
+                    break
 
 
 def _labels_merge(self, other: "Labels") -> None:

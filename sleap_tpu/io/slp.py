@@ -84,8 +84,13 @@ def _make_video_search(
 
     Tries: user callback/paths, the path as-is, relative to the .slp file's
     directory and its ancestors, then basename next to the .slp file.
+    ``video_search=False`` disables searching entirely (reference
+    ``load_file(..., detect_videos=False)``): stored paths are kept verbatim.
     """
     slp_dir = os.path.dirname(os.path.abspath(slp_path))
+
+    if video_search is False:
+        return lambda path: path
 
     def search(path: Optional[str]) -> Optional[str]:
         if path is None:
@@ -97,6 +102,14 @@ def _make_video_search(
         if os.path.exists(path):
             return path
         hints = list(video_search) if isinstance(video_search, (list, tuple)) else []
+        # A file hint also stands for its directory (reference
+        # find_path_using_paths, dataset.py:2713): try dir(hint)/basename.
+        base = os.path.basename(path.replace("\\", "/"))
+        for hint in hints:
+            if os.path.isfile(hint):
+                cand = os.path.join(os.path.dirname(hint), base)
+                if os.path.exists(cand):
+                    return cand
         anc = slp_dir
         for _ in range(6):
             hints.append(anc)
@@ -131,18 +144,46 @@ def read_labels(
         ]
 
         search = _make_video_search(filename, video_search)
-        videos: List[Video] = []
+        video_dicts = []
         if "videos_json" in f:
-            for raw in f["videos_json"][:]:
-                d = json.loads(_as_str(raw))
-                backend = d.get("backend", {})
-                fn = backend.get("filename")
-                if fn == "." or fn == filename:
-                    backend["filename"] = filename
-                    video = Video.from_dict(d)
-                else:
-                    video = Video.from_dict(d, video_search=search)
-                videos.append(video)
+            video_dicts = [json.loads(_as_str(raw)) for raw in f["videos_json"][:]]
+
+        # Positional replacement (reference make_video_callback,
+        # dataset.py:2678-2694): when as many search paths as videos are
+        # given, extensions pairwise match, and the stored paths are still
+        # missing after per-path search, each search path replaces the video
+        # at its own index.
+        positional: Dict[int, str] = {}
+        hints = (
+            list(video_search)
+            if isinstance(video_search, (list, tuple))
+            else []
+        )
+        ext = lambda p: str(p).rsplit(".", 1)[-1]  # noqa: E731
+        if hints and len(hints) == len(video_dicts):
+            stored = [d.get("backend", {}).get("filename") for d in video_dicts]
+            if all(isinstance(s, str) for s in stored) and all(
+                ext(s) == ext(h) for s, h in zip(stored, hints)
+            ):
+                for i, (s, h) in enumerate(zip(stored, hints)):
+                    fixed = search(s)
+                    if (fixed is None or not os.path.exists(fixed)) and \
+                            os.path.exists(str(h)):
+                        positional[i] = str(h)
+
+        videos: List[Video] = []
+        for i, d in enumerate(video_dicts):
+            backend = d.get("backend", {})
+            fn = backend.get("filename")
+            if fn == "." or fn == filename:
+                backend["filename"] = filename
+                video = Video.from_dict(d)
+            elif i in positional:
+                backend["filename"] = positional[i]
+                video = Video.from_dict(d)
+            else:
+                video = Video.from_dict(d, video_search=search)
+            videos.append(video)
 
         tracks: List[Track] = []
         if "tracks_json" in f and f["tracks_json"].shape[0]:
