@@ -156,6 +156,37 @@ class Labels(MutableSequence):
         for v in values:
             self.append(v)
 
+    def extend_from(
+        self,
+        new_frames: Union["Labels", List[LabeledFrame]],
+        unify: bool = False,
+    ) -> bool:
+        """Merge frames from another :class:`Labels` or frame list (reference
+        dataset.py:1593). With ``unify``, videos and skeletons in the new
+        frames are replaced by matching objects already in this project
+        (matched by filename / node names) before merging; frames landing on
+        an existing (video, frame_idx) are merged into that frame.
+        """
+        if isinstance(new_frames, Labels):
+            new_frames = new_frames.labeled_frames
+        if not isinstance(new_frames, list) or not new_frames:
+            return False
+        if not isinstance(new_frames[0], LabeledFrame):
+            return False
+        incoming = Labels(labeled_frames=list(new_frames))
+        if unify and self.labeled_frames:
+            by_key = {_video_match_key(v): v for v in self.videos}
+            by_key.pop(None, None)
+            for lf in incoming.labeled_frames:
+                match = by_key.get(_video_match_key(lf.video))
+                if match is not None:
+                    lf.video = match
+            _unify_skeletons(self, incoming)
+        self.labeled_frames.extend(incoming.labeled_frames)
+        self.merge_matching_frames()
+        self.update_cache()
+        return True
+
     # ------------------------------------------------------------------ #
     # Lookup
     # ------------------------------------------------------------------ #
@@ -984,12 +1015,88 @@ class Labels(MutableSequence):
     ) -> None:
         from sleap_tpu.io import slp
 
+        parent = os.path.dirname(filename)
+        if parent:
+            os.makedirs(parent, exist_ok=True)  # reference test_makedirs
         slp.write_labels(
             filename, self, save_frame_data=with_images,
             all_labeled=embed_all_labeled, suggested=embed_suggested, **kwargs
         )
 
-    save_file = save
+    def to_dict(self, skip_labels: bool = False) -> Dict[str, Any]:
+        """Serialize to a primitive dict (reference dataset.py:1875): the
+        legacy JSON project structure with a shared ``nodes`` list, skeletons
+        referencing nodes by index, and frames/instances referencing videos,
+        skeletons, and tracks by index. Readable by
+        :mod:`sleap_tpu.io.formats.labels_json`.
+        """
+        all_nodes: List[Node] = []
+        for skel in self.skeletons:
+            for node in skel.nodes:
+                if node not in all_nodes:
+                    all_nodes.append(node)
+        node_to_idx = {node: i for i, node in enumerate(all_nodes)}
+        d: Dict[str, Any] = {
+            "version": "2.0.0",
+            "skeletons": [s.to_dict(node_to_idx) for s in self.skeletons],
+            "nodes": [{"name": n.name, "weight": n.weight} for n in all_nodes],
+            "videos": [v.to_dict() for v in self.videos],
+            "tracks": [
+                {"spawned_on": t.spawned_on, "name": t.name} for t in self.tracks
+            ],
+            "suggestions": [
+                {"video": str(self.videos.index(s.video)), "frame_idx": s.frame_idx}
+                for s in self.suggestions
+                if s.video in self.videos
+            ],
+            "negative_anchors": {},
+            "provenance": dict(self.provenance),
+        }
+        if not skip_labels:
+            d["labels"] = [self._frame_to_dict(lf) for lf in self.labeled_frames]
+        return d
+
+    def _frame_to_dict(self, lf: LabeledFrame) -> Dict[str, Any]:
+        insts = []
+        for inst in lf.instances:
+            pts = inst.points
+            points_d = {}
+            for i in range(len(pts)):
+                if np.isnan(pts[i]["x"]) and np.isnan(pts[i]["y"]):
+                    continue
+                pd = {
+                    "x": float(pts[i]["x"]),
+                    "y": float(pts[i]["y"]),
+                    "visible": bool(pts[i]["visible"]),
+                    "complete": bool(pts[i]["complete"]),
+                }
+                if inst.predicted:
+                    pd["score"] = float(pts[i]["score"])
+                points_d[str(i)] = pd
+            inst_d: Dict[str, Any] = {
+                "skeleton": self.skeletons.index(inst.skeleton)
+                if inst.skeleton in self.skeletons
+                else 0,
+                "track": self.tracks.index(inst.track)
+                if inst.track in self.tracks
+                else None,
+                "_points": points_d,
+            }
+            if inst.predicted:
+                inst_d["score"] = float(inst.score)
+            insts.append(inst_d)
+        return {
+            "video": str(self.videos.index(lf.video)),
+            "frame_idx": lf.frame_idx,
+            "_instances": insts,
+        }
+
+    @staticmethod
+    def save_file(labels: "Labels", filename: str, **kwargs) -> None:
+        """Reference-compatible saver (reference dataset.py ``save_file`` is a
+        plain function, so both ``labels.save_file(fn)`` and
+        ``Labels.save_file(labels=..., filename=...)`` call styles work)."""
+        labels.save(filename, **kwargs)
 
     @classmethod
     def save_hdf5(cls, labels: "Labels" = None, filename: str = None, **kwargs):

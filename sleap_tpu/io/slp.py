@@ -310,8 +310,33 @@ def write_labels(
     With ``save_frame_data=True``, labeled frame images are embedded as
     encoded-image HDF5 datasets (training-package style) and video references
     are rewritten to point into the file itself.
+
+    ``append=True`` merges into an existing file (reference
+    ``Labels.save_hdf5(append=True)``, hdf5.py): the reference extends the
+    HDF5 datasets row-wise; here the existing project is loaded, the new
+    frames merged in (videos/skeletons unified by filename/node names), and
+    the file rewritten — same result, no dataset surgery. These project
+    files are metadata-sized, so the rewrite is cheap.
     """
-    mode = "a" if append else "w"
+    if append and os.path.exists(filename):
+        base = read_labels(filename, video_search=False)
+        base.extend_from(labels, unify=True)
+        base_keys = {}
+        for v in base.videos:
+            fn = getattr(getattr(v, "backend", None), "filename", None)
+            if isinstance(fn, str):
+                base_keys[os.path.basename(fn)] = v
+        seen = {(id(s.video), s.frame_idx) for s in base.suggestions}
+        for s in labels.suggestions:
+            fn = getattr(getattr(s.video, "backend", None), "filename", None)
+            video = base_keys.get(os.path.basename(fn)) if isinstance(fn, str) else None
+            if video is not None:
+                s = SuggestionFrame(video, s.frame_idx, s.group)
+            if (id(s.video), s.frame_idx) not in seen:
+                base.suggestions.append(s)
+        base.provenance.update(labels.provenance)
+        labels = base
+    mode = "w"
     videos = list(labels.videos)
 
     with h5py.File(filename, mode) as f:
