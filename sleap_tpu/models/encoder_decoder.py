@@ -220,6 +220,12 @@ def block_upsampling_stride(blk: tuple) -> int:
 FUSED_UP_MIN = 64
 FUSED_UP_MAX = None
 
+#: :func:`fused_up2_conv` uses the H-dilated/W-phase-in-channels kernel form
+#: when the conv's output-channel count is <= this value (0 disables).
+#: Resolved at import time — reading env vars inside jitted code silently
+#: pins the first value seen into the trace cache (see ops/pallas_peaks.py).
+_FUSED_UP_HDIL_MAX_CO = int(os.environ.get("SLEAP_TPU_FUSED_UP_HDIL_MAX_CO", "0"))
+
 #: When True (and ``EncoderDecoderNet.fold_s2d_stem`` is unset), the s2d stem
 #: map is never materialized: every 3x3 SAME conv that consumes it is applied
 #: as an equivalent (3f)x(3f) stride-f conv on the raw image instead, so the
@@ -388,7 +394,9 @@ def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return y.reshape(shp)
 
 
-def fused_up2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def fused_up2_conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, hdil: Optional[bool] = None
+) -> jnp.ndarray:
     """``conv_SAME(bilinear_up2(x), kernel)`` without materializing the
     upsampled array.
 
@@ -432,11 +440,34 @@ def fused_up2_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     Gj = jnp.asarray(G, kernel.dtype)
     K6 = jnp.einsum("mu,nv,uvio->mnio", Gj, Gj, kernel)
 
+    if hdil is None:
+        hdil = bool(_FUSED_UP_HDIL_MAX_CO) and co <= _FUSED_UP_HDIL_MAX_CO
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, K6, (1, 1), padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )  # (B, 2N, 2M, co); 1-px border fixed below (zero-pad SAME semantics)
+    if hdil:
+        # H-dilated-only form with the W phases carried in channels: the
+        # (6, 3, cin, 2co) kernel keeps H on the input-dilated grid (XLA's
+        # internal phase decomposition, as below) but decomposes W's two
+        # phases into output channels, so the conv emits 2co channels and the
+        # (..., M, 2, co) -> (..., 2M, co) merge is a FREE reshape (adjacent
+        # dims, channel-minor layout — a bitcast, not the 6-D d2s transpose).
+        # Same FLOPs; for co < 128 the doubled channel count fills the MXU
+        # lanes, flipping XLA from the batch-in-lanes matmul emitter (60% of
+        # the FLOP floor at dec1's (256,128,128,128)->64 shape) to
+        # batch-in-sublanes (91% at dec0's same-FLOP shape). A/B:
+        # scripts/ab_dec1.py.
+        kw = jnp.concatenate(
+            [K6[:, 1 - q :: 2][:, :3] for q in range(2)], axis=-1
+        )  # (6, 3, cin, 2co); W taps n = 2a + 1 - q select phase q
+        y = jax.lax.conv_general_dilated(
+            xp, kw, (1, 1), padding=((1, 1), (0, 0)), lhs_dilation=(2, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, 2N, M, 2co)
+        y = y.reshape(y.shape[0], y.shape[1], 2 * M, co)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xp, K6, (1, 1), padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, 2N, 2M, co); 1-px border fixed below (zero-pad SAME semantics)
 
     # ---- Exact border recomputation (zero-padded SAME conv semantics). ----
     def conv_strip(strip):
