@@ -220,11 +220,27 @@ def block_upsampling_stride(blk: tuple) -> int:
 FUSED_UP_MIN = 64
 FUSED_UP_MAX = None
 
-#: :func:`fused_up2_conv` uses the H-dilated/W-phase-in-channels kernel form
-#: when the conv's output-channel count is <= this value (0 disables).
-#: Resolved at import time — reading env vars inside jitted code silently
-#: pins the first value seen into the trace cache (see ops/pallas_peaks.py).
-_FUSED_UP_HDIL_MAX_CO = int(os.environ.get("SLEAP_TPU_FUSED_UP_HDIL_MAX_CO", "0"))
+#: Interior-conv form for :func:`fused_up2_conv`: ``dil2d`` (6x6 kernel,
+#: lhs_dilation=(2,2) — XLA's internal phase decomposition), ``phase``
+#: (explicit subpixel conv, 3x3 kernel with 4x output channels + d2s
+#: reshuffle), or ``hdil`` (H-dilated only, W phases in channels + free
+#: reshape). All bit-identical up to float reassociation (tests). An
+#: optional ``:<max_co>`` suffix applies the variant only to convs with at
+#: most that many output channels (e.g. ``phase:64`` hits bottom-up's dec1
+#: but leaves dec0 on dil2d). Resolved at import time — reading env vars
+#: inside jitted code silently pins the first value seen into the trace
+#: cache (see ops/pallas_peaks.py).
+_FUSED_UP_VARIANT = os.environ.get("SLEAP_TPU_FUSED_UP_VARIANT", "dil2d")
+if ":" in _FUSED_UP_VARIANT:
+    _v, _c = _FUSED_UP_VARIANT.split(":", 1)
+    _FUSED_UP_VARIANT, _FUSED_UP_VARIANT_MAX_CO = _v, int(_c)
+else:
+    _FUSED_UP_VARIANT_MAX_CO = None
+if _FUSED_UP_VARIANT not in ("dil2d", "phase", "hdil"):
+    raise ValueError(
+        f"SLEAP_TPU_FUSED_UP_VARIANT={_FUSED_UP_VARIANT!r}: expected "
+        "dil2d|phase|hdil with optional :<max_co> suffix"
+    )
 
 #: When True (and ``EncoderDecoderNet.fold_s2d_stem`` is unset), the s2d stem
 #: map is never materialized: every 3x3 SAME conv that consumes it is applied
@@ -395,7 +411,7 @@ def _up2_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def fused_up2_conv(
-    x: jnp.ndarray, kernel: jnp.ndarray, hdil: Optional[bool] = None
+    x: jnp.ndarray, kernel: jnp.ndarray, variant: Optional[str] = None
 ) -> jnp.ndarray:
     """``conv_SAME(bilinear_up2(x), kernel)`` without materializing the
     upsampled array.
@@ -440,10 +456,35 @@ def fused_up2_conv(
     Gj = jnp.asarray(G, kernel.dtype)
     K6 = jnp.einsum("mu,nv,uvio->mnio", Gj, Gj, kernel)
 
-    if hdil is None:
-        hdil = bool(_FUSED_UP_HDIL_MAX_CO) and co <= _FUSED_UP_HDIL_MAX_CO
+    if variant is None:
+        variant = _FUSED_UP_VARIANT
+        if _FUSED_UP_VARIANT_MAX_CO is not None and co > _FUSED_UP_VARIANT_MAX_CO:
+            variant = "dil2d"
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    if hdil:
+    if variant == "phase":
+        # Explicit subpixel form: one 3x3 conv emitting all 4 output phases
+        # as channels, then a depth-to-space reshuffle. Same FLOPs as dil2d
+        # (each phase uses a stride-2 3x3 subset of K6), but the 4x channel
+        # count keeps the MXU lanes full: at dec1's (256,128,128,128)->64
+        # shape this runs 14.2 vs 18.3 ms isolated (88% vs 68% of the FLOP
+        # floor; scripts/ab_dec1.py), and the d2s cost vanishes into the
+        # conv epilogue (phase-only == phase+d2s to 0.01 ms).
+        kp = jnp.concatenate(
+            [
+                K6[(1 - p)::2][:3][:, (1 - q)::2][:, :3]
+                for p in range(2)
+                for q in range(2)
+            ],
+            axis=-1,
+        )  # (3, 3, cin, 4co); taps m = 2a + 1 - p  ==  K6[(1 - p)::2]
+        yp = jax.lax.conv_general_dilated(
+            xp, kp, (1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, N, M, 4co), channel blocks ordered (p, q, co)
+        yp = yp.reshape(B, N, M, 2, 2, co)
+        yp = jnp.transpose(yp, (0, 1, 3, 2, 4, 5))
+        y = yp.reshape(B, 2 * N, 2 * M, co)
+    elif variant == "hdil":
         # H-dilated-only form with the W phases carried in channels: the
         # (6, 3, cin, 2co) kernel keeps H on the input-dilated grid (XLA's
         # internal phase decomposition, as below) but decomposes W's two

@@ -280,9 +280,12 @@ def test_fused_up2_conv_exact_vs_unfused():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
             )
-            # H-dilated / W-phase-in-channels kernel form: same math, free
-            # W-interleave reshape instead of the 2-D-dilated conv.
-            got_h = fused_up2_conv(x, W, hdil=True)
-            np.testing.assert_allclose(
-                np.asarray(got_h), np.asarray(ref), rtol=1e-4, atol=1e-5
-            )
+            # Alternative interior-conv forms (same math, different XLA
+            # lowering): explicit subpixel phase conv + d2s, and H-dilated
+            # with W phases in channels + free interleave reshape.
+            for variant in ("phase", "hdil"):
+                got_v = fused_up2_conv(x, W, variant=variant)
+                np.testing.assert_allclose(
+                    np.asarray(got_v), np.asarray(ref), rtol=1e-4, atol=1e-5,
+                    err_msg=variant,
+                )
