@@ -571,6 +571,18 @@ class LabeledFrame:
     def __getitem__(self, i: int) -> Instance:
         return self._instances[i]
 
+    def __setitem__(self, i: int, instance: Instance) -> None:
+        self._instances[i] = instance
+
+    def __delitem__(self, i: int) -> None:
+        del self._instances[i]
+
+    def index(self, instance: Instance) -> int:
+        return self._instances.index(instance)
+
+    def insert(self, index: int, instance: Instance) -> None:
+        self._instances.insert(index, instance)
+
     def __iter__(self):
         return iter(self._instances)
 
