@@ -250,7 +250,32 @@ class Instance:
             xy[~self.points["visible"]] = np.nan
         return xy
 
-    def points_array(self, *a, **k) -> np.ndarray:
+    def get_points_array(
+        self, copy: bool = True, invisible_as_nan: bool = False, full: bool = False
+    ) -> np.ndarray:
+        """Points in array form (reference instance.py:745).
+
+        With ``copy=False`` returns a VIEW of the underlying structured
+        array (``invisible_as_nan`` is then ignored — we never NaN the
+        original data); ``full=True`` returns every column of the point
+        dtype as a plain float ndarray, else just (x, y).
+        """
+        if not copy:
+            if full:
+                return self.points
+            return self.points[["x", "y"]]
+        names = list(self.points.dtype.names) if full else ["x", "y"]
+        arr = np.stack(
+            [self.points[n].astype("f8") for n in names], axis=-1
+        )
+        if invisible_as_nan:
+            arr[~self.points["visible"]] = np.nan  # whole ROW, like reference
+        return arr
+
+    @property
+    def points_array(self) -> np.ndarray:
+        """(n_nodes, 2) xy with invisible points as NaN — a PROPERTY, like
+        the reference's (instance.py:822)."""
         return self.numpy()
 
     def transform_points(self, transformation_matrix: np.ndarray) -> None:
@@ -403,8 +428,10 @@ class PredictedInstance(Instance):
         s[~self.points["visible"]] = np.nan
         return s
 
+    @property
     def points_and_scores_array(self) -> np.ndarray:
-        """(n_nodes, 3) array of x, y, score (reference instance.py:1035)."""
+        """(n_nodes, 3) array of x, y, score — a PROPERTY, like the
+        reference's (instance.py:1035)."""
         xy = self.numpy()
         return np.concatenate([xy, self.scores[:, None]], axis=1)
 

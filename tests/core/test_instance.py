@@ -131,7 +131,7 @@ def test_predicted_from_arrays_and_scores(skeleton):
     s = inst.scores
     assert s[0] == pytest.approx(0.9)
     assert np.isnan(s[1])  # invisible point -> NaN score
-    pas = inst.points_and_scores_array()
+    pas = inst.points_and_scores_array
     assert pas.shape == (3, 3)
     np.testing.assert_allclose(pas[2], [5.0, 6.0, 0.7])
 

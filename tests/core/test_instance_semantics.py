@@ -1,0 +1,218 @@
+"""Instance point-array / skeleton-mutation / frame-merge semantics.
+
+Ports the remaining reference ``tests/test_instance.py`` matrix not already
+covered by ``test_instance.py`` here: get_points_array copy/full variants
+(reference instance.py:745), skeleton rename/add/delete reflection, instance
+comparison, predicted points+scores, and the user/predicted frame-merge
+contract (reference instance.py:1749, tests/test_instance.py:287-365).
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+from sleap_tpu.core.instance import (
+    Instance,
+    LabeledFrame,
+    PredictedInstance,
+    make_point,
+    make_pred_point,
+)
+from sleap_tpu.core.labels import Labels
+from sleap_tpu.core.skeleton import Skeleton
+from sleap_tpu.io.video import Video
+
+
+@pytest.fixture
+def skeleton():
+    sk = Skeleton("fly")
+    sk.add_nodes(["head", "thorax", "left-wing", "right-wing"])
+    sk.add_edge("head", "thorax")
+    return sk
+
+
+@pytest.fixture
+def video():
+    return Video.from_numpy(np.zeros((2, 16, 16, 1), dtype=np.uint8))
+
+
+def test_skeleton_node_name_change():
+    s = Skeleton("Test")
+    s.add_nodes(["a", "b", "c", "d", "e"])
+    s.add_edge("a", "b")
+
+    instance = Instance(skeleton=s)
+    instance["a"] = (1, 2)
+    instance["b"] = (3, 4)
+
+    s.relabel_nodes({"a": "A"})
+
+    # Old name no longer resolves.
+    with pytest.raises((KeyError, ValueError)):
+        instance["a"]
+
+    # New name references the same point.
+    assert instance["A"]["x"] == 1 and instance["A"]["y"] == 2
+    assert instance["b"]["x"] == 3 and instance["b"]["y"] == 4
+
+
+def test_instance_comparison(skeleton):
+    points = {"head": (1, 4), "left-wing": (2, 5), "right-wing": (3, 6)}
+    instance1 = Instance(skeleton=skeleton, points=points)
+    instance2 = copy.deepcopy(instance1)
+
+    assert instance1.matches(instance1)
+    assert instance1 is not instance2
+    assert instance1.matches(instance2)
+
+    instance2["head"]["x"] = 42
+    assert not instance1.matches(instance2)
+
+    instance2 = copy.deepcopy(instance1)
+    instance2.skeleton.add_node("extra_node")
+    assert not instance1.matches(instance2)
+
+
+def test_points_array(skeleton):
+    points = {"head": (1, 4), "left-wing": (2, 5), "right-wing": (3, 6)}
+    instance1 = Instance(skeleton=skeleton, points=points)
+
+    pts = instance1.get_points_array()
+    assert pts.shape == (len(skeleton.nodes), 2)
+    assert np.allclose(pts[skeleton.node_to_index("left-wing")], [2, 5])
+    assert np.allclose(pts[skeleton.node_to_index("head")], [1, 4])
+    assert np.allclose(pts[skeleton.node_to_index("right-wing")], [3, 6])
+    assert np.isnan(pts[skeleton.node_to_index("thorax")]).all()
+
+    # Point mutation is reflected.
+    instance1["head"]["x"] = 0
+    instance1["thorax"] = (1, 2)
+    pts = instance1.get_points_array()
+    assert np.allclose(pts[skeleton.node_to_index("head")], [0, 4])
+    assert np.allclose(pts[skeleton.node_to_index("thorax")], [1, 2])
+
+    # Invisible points are NaN iff invisible_as_nan (points_array property
+    # always NaNs them, reference instance.py:822).
+    instance1["thorax"] = make_point(1, 2, visible=False)
+    pts = instance1.get_points_array()
+    assert not np.isnan(pts[skeleton.node_to_index("thorax")]).all()
+    pts = instance1.points_array
+    assert np.isnan(pts[skeleton.node_to_index("thorax")]).all()
+
+
+def test_points_array_copying(skeleton):
+    points = {"head": (1, 4), "left-wing": (2, 5), "right-wing": (3, 6)}
+    instance1 = Instance(skeleton=skeleton, points=points)
+    first_node = skeleton.nodes[0]
+
+    # copy=False returns a view: mutating it mutates the instance.
+    pts = instance1.get_points_array(copy=False)
+    assert pts[0]["x"] == instance1[first_node]["x"]
+    pts[0]["x"] = 123
+    assert pts[0]["x"] == instance1[first_node]["x"]
+
+    # copy=True detaches.
+    pts = instance1.get_points_array(copy=True)
+    assert pts[0][0] == instance1[first_node]["x"]
+    pts[0][0] = 456
+    assert pts[0][0] != instance1[first_node]["x"]
+
+    # full=True carries every column of the point dtype.
+    pts = instance1.get_points_array(copy=True, full=True)
+    assert pts.shape[1] == 4  # x, y, visible, complete
+
+    pts = instance1.get_points_array(copy=True, full=False)
+    assert pts.shape[1] == 2
+
+    # full + invisible_as_nan NaNs the whole row (reference behavior).
+    instance1["head"] = make_point(9, 9, visible=False)
+    pts = instance1.get_points_array(copy=True, full=True, invisible_as_nan=True)
+    head_row = pts[skeleton.node_to_index("head")]
+    assert np.isnan(head_row).all()
+
+
+def test_predicted_points_array_with_score(skeleton):
+    pred_inst = PredictedInstance(
+        skeleton=skeleton,
+        points={
+            "head": make_pred_point(1, 2, score=0.3),
+            "thorax": make_pred_point(4, 5, score=0.6, visible=False),
+        },
+        score=1.0,
+    )
+    pts = pred_inst.points_and_scores_array
+    assert pts[0, 0] == 1 and pts[0, 1] == 2 and pts[0, 2] == pytest.approx(0.3)
+    # Invisible point rows are NaN.
+    assert np.isnan(pts[1, 0])
+
+
+def test_modifying_skeleton(skeleton):
+    points = {"head": (1, 4), "left-wing": (2, 5), "right-wing": (3, 6)}
+    instance1 = Instance(skeleton=skeleton, points=points)
+    assert len(instance1.points) == 4
+
+    skeleton.add_node("new test node")
+    instance1.points  # re-syncs against the skeleton
+    instance1["new test node"] = (7, 8)
+    assert len(instance1.points) == 5
+    assert instance1["new test node"]["x"] == 7
+
+    skeleton.delete_node("head")
+    assert len(instance1.points) == 4
+    # Surviving points kept their values through the resync.
+    assert instance1["left-wing"]["x"] == 2
+
+
+def test_instance_labeled_frame_ref(skeleton, video):
+    instances = [Instance(skeleton=skeleton) for _ in range(3)]
+    frame = LabeledFrame(video=video, frame_idx=0, instances=instances)
+    assert frame.instances[0].frame is frame
+    assert frame[0].frame is frame
+    assert frame[0].frame_idx == 0
+
+
+def test_frame_merge_predicted_and_user(skeleton, video):
+    user_inst = Instance(skeleton=skeleton, points={"head": (1, 2)})
+    user_frame = LabeledFrame(video=video, frame_idx=0, instances=[user_inst])
+
+    pred_inst = PredictedInstance(
+        skeleton=skeleton,
+        points={"head": make_pred_point(1, 2, score=1.0)},
+        score=1.0,
+    )
+    pred_frame = LabeledFrame(video=video, frame_idx=0, instances=[pred_inst])
+
+    LabeledFrame.complex_frame_merge(user_frame, pred_frame)
+
+    # A user instance and a perfectly-matching prediction are BOTH retained
+    # (different kinds never conflict — reference tests/test_instance.py:309).
+    assert user_inst in user_frame.instances
+    assert pred_inst in user_frame.instances
+    assert user_inst.frame is user_frame
+    assert pred_inst.frame is user_frame
+    assert len(user_frame.instances) == 2
+
+
+def test_frame_merge_between_predicted_and_user(skeleton, video):
+    user_inst = Instance(skeleton=skeleton, points={"head": (1, 2)})
+    user_labels = Labels(
+        [LabeledFrame(video=video, frame_idx=0, instances=[user_inst])]
+    )
+    pred_inst = PredictedInstance(
+        skeleton=skeleton,
+        points={"head": make_pred_point(1, 2, score=1.0)},
+        score=1.0,
+    )
+    pred_labels = Labels(
+        [LabeledFrame(video=video, frame_idx=0, instances=[pred_inst])]
+    )
+
+    _, _, new_conflicts = Labels.complex_merge_between(
+        user_labels, new_labels=pred_labels, unify=False
+    )
+    Labels.finish_complex_merge(user_labels, new_conflicts)
+
+    assert user_inst in user_labels[0].instances
+    assert pred_inst in user_labels[0].instances
+    assert len(user_labels[0].instances) == 2
