@@ -114,10 +114,29 @@ class MediaVideo:
     def dtype(self):
         return self.test_frame.dtype
 
-    def reset(self) -> None:
+    def reset(
+        self,
+        filename: Optional[str] = None,
+        grayscale: Optional[bool] = None,
+        bgr: Optional[bool] = None,
+    ) -> None:
+        """Drop the open reader (and cached test frame) and optionally
+        reconfigure the backend, like the reference's ``MediaVideo.reset``
+        (reference video.py:478): ``grayscale`` omitted -> re-detect from the
+        file; passing it pins the channel mode for subsequent reads.
+        """
         if self._reader_ is not None:
             self._reader_.release()
         self._reader_ = None
+        self._test_frame_ = None
+        if filename is not None:
+            self.filename = filename
+        if grayscale is not None:
+            self.grayscale = grayscale
+        elif filename is not None:
+            self.grayscale = None  # re-detect against the new file
+        if bgr is not None:
+            self.bgr = bgr
 
     def get_frame(self, idx: int, grayscale: Optional[bool] = None) -> np.ndarray:
         import cv2
@@ -396,8 +415,31 @@ class SingleImageVideo:
             )
         return self.grayscale
 
-    def reset(self) -> None:
+    def reset(
+        self,
+        filename: Optional[str] = None,
+        filenames: Optional[List[str]] = None,
+        grayscale: Optional[bool] = None,
+    ) -> None:
+        """Drop cached frames and optionally repoint at new image file(s)
+        (reference video.py:528) — passing BOTH filename and filenames is
+        ambiguous and raises."""
+        if filename is not None and filenames:
+            raise ValueError(
+                "Cannot specify both filename and filenames on reset."
+            )
         self._cache = {}
+        self.height_ = self.width_ = self.channels_ = None
+        if filename is not None:
+            self.filename = filename
+            self.filenames = [filename]
+        elif filenames:
+            self.filenames = list(filenames)
+            self.filename = self.filenames[0]
+        if grayscale is not None:
+            self.grayscale = grayscale
+        elif filename is not None or filenames:
+            self.grayscale = None
 
     def get_frame(self, idx: int) -> np.ndarray:
         if idx not in self._cache:

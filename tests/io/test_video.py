@@ -5,6 +5,8 @@ SingleImageVideo, the facade's shape/delegation/equality contract, and
 from_filename dispatch (reference sleap/io/video.py:1001).
 """
 
+import os
+
 import h5py
 import numpy as np
 import pytest
@@ -212,3 +214,66 @@ def test_hdf5_channels_first_indexing(tmp_path):
     assert video.shape == (3, 12, 10, 2)
     frame = video.get_frame(1)
     np.testing.assert_array_equal(frame, np.moveaxis(data[1], 0, -1))
+
+
+REF_VIDEOS = "/root/reference/tests/data/videos"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_VIDEOS), reason="reference fixtures absent"
+)
+def test_reset_video_mp4_reconfigures():
+    """Reference test_reset_video_mp4 (:459): reset(grayscale=...) flips the
+    channel mode of subsequent reads in both directions."""
+    video = Video.from_filename(os.path.join(REF_VIDEOS, "small_robot.mp4"))
+    filename = video.backend.filename
+    video.get_frame(0)
+
+    video.backend.reset(filename=filename, grayscale=True)
+    frame = video.get_frame(0)
+    assert frame.shape[2] == 1
+    assert video.backend.grayscale is True
+
+    video.backend.reset(filename=filename, grayscale=False)
+    frame = video.get_frame(0)
+    assert frame.shape[2] == 3
+    assert video.backend.grayscale is False
+
+    # grayscale omitted with a filename -> re-detect; bgr passthrough kept.
+    video.backend.reset(filename=filename, bgr=True)
+    assert video.backend.bgr is True
+    assert video.backend.grayscale is None
+    video.get_frame(0)
+    assert video.backend.grayscale is not None
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_VIDEOS), reason="reference fixtures absent"
+)
+def test_reset_video_single_image():
+    """Reference test_reset_video_siv (:501): reset flips grayscale, can
+    repoint at a filename list, and rejects filename+filenames together."""
+    f0 = os.path.join(REF_VIDEOS, "robot0.jpg")
+    fns = [os.path.join(REF_VIDEOS, f"robot{i}.jpg") for i in range(3)]
+
+    video = Video.from_filename(f0)
+    video.get_frame(0)
+
+    video.backend.reset(filename=f0, grayscale=True)
+    frame = video.get_frame(0)
+    assert frame.shape[2] == 1
+
+    video.backend.reset(filename=f0, grayscale=False)
+    frame = video.get_frame(0)
+    assert frame.shape[2] == 3
+
+    # Repoint at a list of images.
+    video.backend.reset(filenames=fns)
+    assert video.backend.filenames == fns
+    assert len(video) == 3
+    video.get_frame(2)
+
+    # Both filename and filenames is ambiguous.
+    with pytest.raises(ValueError):
+        video.backend.reset(filename=f0, filenames=fns)
+    assert video.backend.filenames == fns
