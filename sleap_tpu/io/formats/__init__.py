@@ -29,7 +29,13 @@ def read(filename: str, for_object: str = "labels", as_format: Optional[str] = N
     if fmt in ("dlc", "deeplabcut", "csv_dlc"):
         from sleap_tpu.io.formats import dlc
 
+        if filename.lower().endswith((".yaml", ".yml")):
+            return dlc.read_config(filename, **kwargs)
         return dlc.read_labels(filename, **kwargs)
+    if fmt == "dlc_config":
+        from sleap_tpu.io.formats import dlc
+
+        return dlc.read_config(filename, **kwargs)
     if fmt == "coco":
         from sleap_tpu.io.formats import coco
 
@@ -130,4 +136,9 @@ def sniff_format(filename: str) -> str:
         return "nix"
     if low.endswith((".txt", ".log")):
         return "text"
+    if low.endswith((".yaml", ".yml")):
+        with open(filename) as f:
+            head = f.read(8192)
+        if "bodyparts" in head or "multianimalproject" in head:
+            return "dlc_config"
     raise ValueError(f"Unknown file format: {filename}")

@@ -32,6 +32,46 @@ def _resolve_image(path: str, base_dir: str) -> str:
     return path
 
 
+def read_config(filename: str) -> Labels:
+    """Load a DLC PROJECT from its ``config.yaml`` (reference
+    deeplabcut.py:270-340): build the skeleton from the config's body-part
+    lists, then import every ``labeled-data/*/CollectedData*.csv`` under the
+    project root against that shared skeleton.
+    """
+    import glob
+
+    import yaml
+
+    with open(filename) as f:
+        project = yaml.safe_load(f)
+
+    skeleton = Skeleton(name="deeplabcut")
+    if project.get("multianimalproject", False):
+        skeleton.add_nodes(project.get("multianimalbodyparts", []))
+        for name in project.get("uniquebodyparts", []) or []:
+            skeleton.add_node(name)
+    else:
+        skeleton.add_nodes(project.get("bodyparts", []))
+
+    root_dir = os.path.dirname(os.path.abspath(filename))
+    labeled_dir = os.path.join(root_dir, "labeled-data")
+    merged: Optional[Labels] = None
+    for subdir in sorted(glob.glob(os.path.join(labeled_dir, "*"))):
+        if not os.path.isdir(subdir):
+            continue
+        csvs = sorted(glob.glob(os.path.join(subdir, "CollectedData*.csv")))
+        if not csvs:
+            continue
+        labels = read_labels(csvs[0], skeleton=skeleton)
+        if merged is None:
+            merged = labels
+        else:
+            merged.extend_from(labels)
+    if merged is None:
+        return Labels(labeled_frames=[], skeletons=[skeleton])
+    return merged
+
+
 def read_labels(filename: str, skeleton: Optional[Skeleton] = None) -> Labels:
     """Load a DLC CollectedData CSV (single- or multi-animal)."""
     import csv as csv_mod
@@ -100,11 +140,18 @@ def read_labels(filename: str, skeleton: Optional[Skeleton] = None) -> Labels:
             if not skeleton.has_node(name):
                 skeleton.add_node(name)
 
-    tracks = {
-        ind: Track(spawned_on=0, name=str(ind))
-        for ind in individuals
-        if ind not in (None, "single")
-    }
+    # Tracks are created lazily at the first frame where the individual has
+    # any visible point, so ``spawned_on`` records that frame index — the
+    # reference gives the multi-animal "single" (unique-bodyparts) pseudo-
+    # individual its own track this way (tests/io/test_formats.py:310-320).
+    tracks: dict = {}
+
+    def track_for(ind, frame_idx):
+        if ind is None:
+            return None
+        if ind not in tracks:
+            tracks[ind] = Track(spawned_on=frame_idx, name=str(ind))
+        return tracks[ind]
 
     # Map (individual, part, coord) -> column for fast row access.
     col_map = {
@@ -131,7 +178,11 @@ def read_labels(filename: str, skeleton: Optional[Skeleton] = None) -> Labels:
                         visible = True
             if visible:
                 instances.append(
-                    Instance(skeleton=skeleton, points=pts, track=tracks.get(ind))
+                    Instance(
+                        skeleton=skeleton,
+                        points=pts,
+                        track=track_for(ind, row_i),
+                    )
                 )
         if instances:
             lfs.append(LabeledFrame(video=video, frame_idx=row_i, instances=instances))
