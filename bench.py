@@ -238,7 +238,9 @@ def bench_topdown():
     # monotone to a plateau; 128 is the headline config.
     predictor = build_topdown_predictor(batch=128)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 128, IMG, n_iters=16)
+    # n_iters 16 -> 48 (round 5): amortize the ~20 ms fixed tunnel
+    # dispatch+fetch latency of the timed call (see bench_bottomup note).
+    fps, _ = bench_infer_fps(infer, 128, IMG, n_iters=48)
     return {
         "metric": "topdown_inference_fps_1024",
         "value": round(fps, 2),
@@ -250,7 +252,9 @@ def bench_topdown():
 def bench_topdown_latency():
     predictor = build_topdown_predictor(batch=1)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 1, IMG, n_iters=16, inner=8)
+    # n_iters 16 -> 64 (round 5): 128 chained apps left the ~20 ms fixed
+    # tunnel latency contributing ~0.16 ms/frame; 512 apps push it <0.04.
+    fps, _ = bench_infer_fps(infer, 1, IMG, n_iters=64, inner=8)
     latency_ms = 1000.0 / fps
     return {
         "metric": "topdown_latency_ms_batch1_1024",
@@ -266,7 +270,11 @@ def bench_bottomup():
     # Larger batches amortize the per-iter fixed costs; 256 is the headline.
     predictor = build_bottomup_predictor(batch=256)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 256, IMG, n_iters=8)
+    # n_iters 8 -> 32 (round 5): the timed call carries ~20 ms of FIXED
+    # dispatch+fetch latency over the axon tunnel (trace-profiled device time
+    # is 127.7 ms/iter vs 130.4 measured at 8 iters); a longer chain amortizes
+    # the one-time cost exactly like every other bench's chaining does.
+    fps, _ = bench_infer_fps(infer, 256, IMG, n_iters=32)
     return {
         "metric": "bottomup_inference_fps_1024",
         "value": round(fps, 2),
@@ -278,7 +286,10 @@ def bench_bottomup():
 def bench_single_instance():
     predictor = build_single_instance_predictor(batch=4)
     infer = predictor._build_infer_fn().__wrapped__
-    fps, _ = bench_infer_fps(infer, 4, 192, n_iters=50, inner=4)
+    # n_iters 50 -> 200 (round 5): at ~0.36 ms/application the old 200-app
+    # chain ran ~72 ms total, so the ~20 ms fixed tunnel latency inflated
+    # per-frame time ~28%; 800 apps push the artifact under 3%.
+    fps, _ = bench_infer_fps(infer, 4, 192, n_iters=200, inner=4)
     return {
         "metric": "single_instance_inference_fps_192",
         "value": round(fps, 2),

@@ -112,9 +112,16 @@ def score_paf_lines_batch(
     wy = jnp.maximum(
         dt(0.0), 1.0 - jnp.abs(ri[..., None] - jnp.arange(Hs, dtype=dt))
     )  # (S, E, P', Hs) — exactly one 1 per row (integer coords)
-    wx = jnp.maximum(
-        dt(0.0), 1.0 - jnp.abs(ci[..., None] - jnp.arange(Ws, dtype=dt))
-    )  # (S, E, P', Ws)
+    # wx is generated TRANSPOSED — (S, E, Ws, P') — so its natural layout
+    # (P' in lanes, Ws in sublanes) is exactly the physical layout the
+    # column-select dot wants for this operand. Generated in the logical
+    # (S, E, P', Ws) orientation, XLA materializes the 500 MB hat tensor in
+    # standard layout and then inserts a full relayout copy (copy.520 in the
+    # batch-256 trace, 1.6 ms/iter) before the dot; orienting the generator
+    # itself makes the copy fold away.
+    wxT = jnp.maximum(
+        dt(0.0), 1.0 - jnp.abs(ci[:, :, None, :] - jnp.arange(Ws, dtype=dt)[:, None])
+    )  # (S, E, Ws, P')
     paf_e = pafs.reshape(S, Hs, Ws, E, 2)
     row_mix = jnp.einsum(
         "seph,shwec->sepwc", wy, paf_e, preferred_element_type=dt
@@ -124,7 +131,7 @@ def score_paf_lines_batch(
     # f32 copies of the (S, E, P', Ws) one-hot (~2 GB, ~4.4 ms/iter at batch
     # 256 in the trace: copy.382 + fusion.193) purely to feed the dot.
     sampled = jnp.einsum(
-        "sepwc,sepw->sepc", row_mix, wx, preferred_element_type=dt
+        "sepwc,sewp->sepc", row_mix, wxT, preferred_element_type=dt
     ).astype(jnp.float32)  # (S, E, P', 2)
     paf_x = sampled[..., 0].reshape(S, E, K, K, -1)
     paf_y = sampled[..., 1].reshape(S, E, K, K, -1)
