@@ -254,3 +254,73 @@ def test_kalman_outcomes_match_reference_assignments():
             used.add(ref_name)
     agree = sum(c for (o, r), c in pair_counts.items() if mapping.get(o) == r)
     assert agree / total >= 0.98, f"agreement {agree}/{total}"
+
+
+def _drive_tracker_by_name(frames, **kwargs):
+    """Reference tests/nn/test_tracker_components.py:18 — build by name,
+    clear tracks, and drive track() + final_pass() over real frames."""
+    t = Tracker.make_tracker_by_name(**kwargs)
+    for lf in frames:
+        for inst in lf.instances:
+            inst.track = None
+        img = None
+        if t.uses_image:
+            img = lf.video.get_frame(lf.frame_idx)
+        t.track(untracked_instances=list(lf.instances), img=img, img_hw=(1, 1))
+    t.final_pass(frames)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "tracker", ["simple", "flow", "simplemaxtracks", "flowmaxtracks"]
+)
+@pytest.mark.parametrize("similarity", SIMILARITIES)
+@pytest.mark.parametrize("match", MATCHES)
+@pytest.mark.parametrize("count", [0, 2])
+def test_tracker_by_name(clip_frames, tracker, similarity, match, count):
+    frames = _slice(clip_frames, 5)
+    _drive_tracker_by_name(
+        frames,
+        tracker=tracker,
+        similarity=similarity,
+        match=match,
+        max_tracks=count if count else None,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "tracker", ["simple", "flow", "simplemaxtracks", "flowmaxtracks"]
+)
+@pytest.mark.parametrize("oks_score_weighting", [True, False])
+@pytest.mark.parametrize("oks_normalization", ["all", "ref", "union"])
+def test_oks_tracker_by_name(
+    clip_frames, tracker, oks_score_weighting, oks_normalization
+):
+    frames = _slice(clip_frames, 5)
+    _drive_tracker_by_name(
+        frames,
+        tracker=tracker,
+        similarity="object_keypoint",
+        match="greedy",
+        oks_score_weighting=oks_score_weighting,
+        oks_normalization=oks_normalization,
+        max_tracks=2,
+    )
+
+
+def test_tracker_by_name_smoke(clip_frames):
+    """Fast single-combo pass of each tracker family (the full matrix is
+    slow-marked above)."""
+    for tracker in ("simple", "simplemaxtracks"):
+        _drive_tracker_by_name(
+            _slice(clip_frames, 3),
+            tracker=tracker,
+            similarity="instance",
+            match="hungarian",
+            max_tracks=2,
+        )
+    # Empty-frames path: track([]) + final_pass([]) must not raise.
+    t = Tracker.make_tracker_by_name(tracker="simple")
+    t.track([])
+    t.final_pass([])
