@@ -178,7 +178,13 @@ class DirectoryImgStore:
         if frame_number is None:
             if frame_index is None:
                 raise ValueError("Provide frame_number or frame_index.")
-            frame_number = list(self._index)[frame_index]
+            numbers = list(self._index)
+            if not -len(numbers) <= frame_index < len(numbers):
+                raise ValueError(
+                    f"Frame index {frame_index} out of range "
+                    f"(store holds {len(numbers)} frames)."
+                )
+            frame_number = numbers[frame_index]
         elif frame_number not in self._index:
             raise ValueError(f"Frame number {frame_number} not in store.")
         img, meta = self._read(int(frame_number))

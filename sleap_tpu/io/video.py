@@ -170,6 +170,9 @@ class HDF5Video:
     dataset: str = attr.ib(default=None)
     input_format: str = attr.ib(default="channels_last")
     convert_range: bool = attr.ib(default=True)
+    #: When True, frames absent from the file are read from the original
+    #: source video recorded at save time (reference video.py:171-180).
+    enable_source_video: bool = attr.ib(default=True)
 
     EXTS = ("h5", "hdf5", "slp")
 
@@ -215,17 +218,23 @@ class HDF5Video:
         self._open()
         if self._frame_map is None:
             return list(range(self.frames))
-        return sorted(self._frame_map.keys())
+        # Stored (dataset) order, matching the reference (video.py:188-191).
+        return list(self._frame_map.keys())
 
     @property
     def has_embedded_images(self) -> bool:
+        """True when the file carries cached per-frame images — i.e. a
+        frame_numbers mapping exists, whatever the storage format
+        (reference video.py:181-184)."""
         self._open()
+        if self._frame_map is not None:
+            return len(self._frame_map) > 0
         return bool(self._format_)
 
     @property
     def source_video_available(self) -> bool:
         self._open()
-        return self._source_video_dict is not None
+        return self.enable_source_video and self._source_video_dict is not None
 
     @property
     def source_video(self) -> Optional["Video"]:
@@ -275,31 +284,52 @@ class HDF5Video:
     def dtype(self):
         return self.test_frame.dtype
 
+    @property
+    def last_frame_idx(self) -> int:
+        """Highest addressable frame index: the max ORIGINAL frame number
+        when a frame_numbers mapping exists (reference video.py:280-295)."""
+        self._open()
+        if self._frame_map:
+            return max(self._frame_map.keys())
+        return self.frames - 1
+
     def reset(self) -> None:
         if self._file_ is not None:
             self._file_.close()
         self._file_ = None
         self._dataset_ = None
 
+    def close(self) -> None:
+        """Release the open h5 handle (reference video.py:560)."""
+        self.reset()
+
     def get_frame(self, idx: int) -> np.ndarray:
         ds = self._open()
         row = idx
+        missing = False
         if self._frame_map is not None:
             if idx in self._frame_map:
                 row = self._frame_map[idx]
-            elif idx < len(self._frame_map):
-                row = idx  # already a row index
             else:
-                raise KeyError(f"Frame {idx} not embedded in {self.filename}.")
+                missing = True
+        elif not 0 <= idx < ds.shape[0]:
+            missing = True
+        if missing:
+            # Fall back to the original source video (reference
+            # video.py:171-180, 380-395), else fail like an index error.
+            if self.enable_source_video and self._source_video_dict is not None:
+                return self.source_video.get_frame(idx)
+            raise IndexError(f"Frame {idx} not embedded in {self.filename}.")
         frame = ds[row]
         if self._format_:
             import cv2
 
             frame = cv2.imdecode(np.frombuffer(np.asarray(frame).tobytes(), dtype="uint8"), cv2.IMREAD_UNCHANGED)
+            # No channel flip: frames are encoded straight from RGB arrays
+            # (both here and in the reference, video.py:1445 + 324), so
+            # decode returns the original channel order.
             if frame.ndim == 2:
                 frame = frame[..., None]
-            if frame.shape[-1] == 3:
-                frame = frame[..., ::-1]  # stored BGR by cv2.imencode
         else:
             if self.input_format == "channels_first":
                 frame = np.transpose(frame, (1, 2, 0))
@@ -502,6 +532,14 @@ class ImgStoreVideo:
     def dtype(self):
         return self._img.dtype
 
+    @property
+    def last_frame_idx(self) -> int:
+        """Max ORIGINAL frame number when indexing by original frame numbers
+        (reference video.py:715-726)."""
+        if self.index_by_original:
+            return self._store.frame_max
+        return self.frames - 1
+
     def get_frame(self, idx: int) -> np.ndarray:
         if self.index_by_original:
             img, _ = self._store.get_image(frame_number=idx)
@@ -543,6 +581,11 @@ class Video:
 
     @property
     def last_frame_idx(self) -> int:
+        # Embedded-frame backends override this with the max ORIGINAL frame
+        # number (reference video.py:1054-1058).
+        backend_idx = getattr(self.backend, "last_frame_idx", None)
+        if backend_idx is not None:
+            return backend_idx
         return self.num_frames - 1
 
     @property
