@@ -279,9 +279,13 @@ class Instance:
         return self.numpy()
 
     def transform_points(self, transformation_matrix: np.ndarray) -> None:
-        """Apply a 2x2 or 3x3 transform to the xy coordinates in place."""
+        """Apply a 2x2 linear, 2x3 affine (cv2.getRotationMatrix2D form), or
+        3x3 homogeneous transform to the xy coordinates in place (reference
+        instance.py:845)."""
         xy = self.numpy(invisible_as_nan=False)
-        if transformation_matrix.shape == (3, 3):
+        if transformation_matrix.shape == (2, 3):
+            xy = xy @ transformation_matrix[:, :2].T + transformation_matrix[:, 2]
+        elif transformation_matrix.shape == (3, 3):
             ones = np.ones((len(xy), 1))
             xy = np.concatenate([xy, ones], axis=1) @ transformation_matrix.T
             xy = xy[:, :2]
@@ -289,6 +293,20 @@ class Instance:
             xy = xy @ transformation_matrix.T
         self.points["x"] = xy[:, 0]
         self.points["y"] = xy[:, 1]
+
+    def _merge_nodes_data(self, base_node: str, merge_node: str) -> None:
+        """Copy ``merge_node``'s point (all fields, incl. score for predicted
+        points) into ``base_node`` when the base point is unset or invisible
+        and the merge point has data (reference instance.py:919-948). Used by
+        :meth:`Labels.merge_nodes` before the merged node is deleted."""
+        names = self.skeleton.node_names
+        bi, mi = names.index(base_node), names.index(merge_node)
+        pts = self.points
+        merge_has = bool(pts["visible"][mi]) and not np.isnan(pts["x"][mi])
+        base_missing = (not pts["visible"][bi]) or np.isnan(pts["x"][bi])
+        if merge_has and base_missing:
+            for field in pts.dtype.names:
+                pts[field][bi] = pts[field][mi]
 
     @property
     def centroid(self) -> np.ndarray:

@@ -649,13 +649,7 @@ class Labels(MutableSequence):
             names = inst.skeleton.node_names
             if base_node not in names or merge_node not in names:
                 continue
-            bi, mi = names.index(base_node), names.index(merge_node)
-            pts = inst.points
-            merge_has = bool(pts["visible"][mi]) and not np.isnan(pts["x"][mi])
-            base_missing = (not pts["visible"][bi]) or np.isnan(pts["x"][bi])
-            if merge_has and base_missing:
-                for field in pts.dtype.names:
-                    pts[field][bi] = pts[field][mi]
+            inst._merge_nodes_data(base_node, merge_node)
             # (row removal happens automatically when the node is deleted:
             # Instance.points realigns to the skeleton by node identity)
         for skel in self.skeletons:

@@ -216,3 +216,80 @@ def test_frame_merge_between_predicted_and_user(skeleton, video):
     assert user_inst in user_labels[0].instances
     assert pred_inst in user_labels[0].instances
     assert len(user_labels[0].instances) == 2
+
+
+def test_instance_rotation(skeleton):
+    """2x3 affine (cv2.getRotationMatrix2D form) transform parity
+    (reference tests/test_instance.py:367)."""
+    instance = Instance(skeleton=skeleton)
+    instance["head"] = make_point(20, 50)
+
+    # cv2.getRotationMatrix2D((10, 10), 45, 1)
+    mat = np.array(
+        [[0.70710678, 0.70710678, -4.14213562], [-0.70710678, 0.70710678, 10.0]]
+    )
+    instance.transform_points(mat)
+
+    assert int(instance["head"]["x"]) == 45
+    assert int(instance["head"]["y"]) == 31
+
+
+def test_merge_nodes_data(min_labels):
+    """Per-instance node-merge semantics (reference tests/test_instance.py:385)."""
+    labels = min_labels.copy()
+    labels.skeleton.add_node("a")
+
+    # base node point set and visible: keep base
+    inst = labels[0][0]
+    inst["A"] = make_point(0, 1, visible=True)
+    inst["a"] = make_point(1, 2, visible=True)
+    inst._merge_nodes_data("A", "a")
+    assert inst["A"]["x"] == 0 and inst["A"]["y"] == 1
+
+    # base node point unset: take merge
+    inst = labels[0][0]
+    inst["A"] = make_point(np.nan, np.nan, visible=False)
+    inst["a"] = make_point(1, 2, visible=True)
+    inst._merge_nodes_data("A", "a")
+    assert inst["A"]["x"] == 1 and inst["A"]["y"] == 2
+
+    # base node point set but not visible: take merge
+    inst = labels[0][1]
+    inst["A"] = make_point(0, 1, visible=False)
+    inst["a"] = make_point(1, 2, visible=True)
+    inst._merge_nodes_data("A", "a")
+    assert inst["A"]["x"] == 1 and inst["A"]["y"] == 2
+
+    # predicted instance: score comes along
+    inst = PredictedInstance.from_numpy(
+        points=np.array([[np.nan, np.nan], [1, 2], [2, 3]]),
+        point_confidences=np.array([0.1, 0.8, 0.9]),
+        instance_score=0.7,
+        skeleton=labels.skeleton,
+    )
+    inst._merge_nodes_data("A", "a")
+    assert (
+        inst["A"]["x"] == 2 and inst["A"]["y"] == 3 and inst["A"]["score"] == 0.9
+    )
+
+
+def test_instance_fill_missing_bounds():
+    """fill_missing samples inside the bbox / given bounds
+    (reference tests/test_instance.py:421)."""
+    skel = Skeleton.from_names_and_edge_inds(["a", "b", "c"], [])
+
+    for _ in range(10):
+        inst = Instance.from_numpy(
+            np.array([[1, 1], [10, 10], [np.nan, np.nan]]), skeleton=skel
+        )
+        inst.fill_missing()
+        assert 0 <= inst.points["x"][2] <= 10
+        assert 0 <= inst.points["y"][2] <= 10
+
+    for _ in range(10):
+        inst = Instance.from_numpy(
+            np.array([[1, 1], [10, 10], [np.nan, np.nan]]), skeleton=skel
+        )
+        inst.fill_missing(max_x=7, max_y=5)
+        assert 0 <= inst.points["x"][2] <= 7
+        assert 0 <= inst.points["y"][2] <= 5
