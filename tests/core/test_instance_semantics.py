@@ -293,3 +293,51 @@ def test_instance_fill_missing_bounds():
         inst.fill_missing(max_x=7, max_y=5)
         assert 0 <= inst.points["x"][2] <= 7
         assert 0 <= inst.points["y"][2] <= 5
+
+
+def test_labeledframe_instance_counting_fixture(min_labels):
+    """Counting properties against real fixtures
+    (reference tests/test_instance.py:453)."""
+    preds = Labels.load_file(
+        "/root/reference/tests/data/hdf5_format_v1/centered_pair_predictions.slp"
+    )
+    lf = preds.labeled_frames[0]
+    assert lf.n_user_instances == 0
+    assert len(lf.user_instances) == 0
+    assert not lf.has_user_instances
+    assert lf.n_predicted_instances == 2
+    assert all(type(inst) == PredictedInstance for inst in lf.predicted_instances)
+    assert lf.has_predicted_instances
+    assert lf.n_tracked_instances == 2
+    assert all(inst.track is not None for inst in lf.tracked_instances)
+    assert lf.has_tracked_instances
+
+    lf = min_labels.labeled_frames[0]
+    assert lf.n_user_instances == 2
+    assert all(type(inst) == Instance for inst in lf.user_instances)
+    assert lf.has_user_instances
+    assert lf.n_predicted_instances == 0
+    assert not lf.has_predicted_instances
+    assert lf.n_tracked_instances == 0
+    assert not lf.has_tracked_instances
+
+
+def test_instance_structuring_from_predicted():
+    """Labels.copy survives user instances linked to predictions
+    (reference tests/test_instance.py:518)."""
+    labels = Labels.load_file(
+        "/root/reference/tests/data/hdf5_format_v1/centered_pair_predictions.slp"
+    ).copy()
+    pred_inst = labels[0][0]
+    assert type(pred_inst) == PredictedInstance
+
+    inst = Instance.from_numpy(pred_inst.numpy(), pred_inst.skeleton)
+    labels[0].instances.append(inst)
+    labels_copy = labels.copy()
+
+    inst.from_predicted = pred_inst
+    assert inst.from_predicted == pred_inst
+
+    labels_copy = labels.copy()
+    new_inst = [i for i in labels_copy[0].instances if type(i) == Instance][0]
+    assert type(new_inst.from_predicted) == PredictedInstance
