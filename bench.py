@@ -874,6 +874,35 @@ def bench_train(batch=16, n_iters=20):
     return results
 
 
+def _run_with_deadline(fn, seconds):
+    """Run ``fn`` in a daemon thread, bounded by ``seconds``.
+
+    The axon TPU tunnel can stall indefinitely mid-run (observed round 3 and
+    round 5: the device client blocks in tcp_recvmsg forever and the main
+    thread parks on a futex that SIGALRM cannot interrupt, since the blocking
+    wait lives in GIL-released C code). A joined daemon thread is the only
+    reliable bound: on timeout we abandon the wedged thread and raise.
+    """
+    import threading
+
+    result, err = [], []
+
+    def target():
+        try:
+            result.append(fn())
+        except BaseException as e:  # noqa: BLE001 — reported to the caller
+            err.append(e)
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        raise TimeoutError(f"stage exceeded {seconds}s (TPU tunnel stall?)")
+    if err:
+        raise err[0]
+    return result[0]
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     benches = {
@@ -893,16 +922,39 @@ def main():
         if which == "all"
         else [which]
     )
+    # Per-stage wall-clock bound. Generous enough for a fully cold compile
+    # of the largest stage on this 1-core host; a dead tunnel turns into
+    # one bounded timeout + fast error rows instead of an infinite hang.
+    stage_timeout = float(os.environ.get("SLEAP_TPU_BENCH_STAGE_TIMEOUT", 2400))
+    tunnel_dead = False
     for name in order:
+        if tunnel_dead:
+            print(
+                json.dumps(
+                    {"metric": name, "error": "skipped: TPU tunnel stalled"}
+                ),
+                flush=True,
+            )
+            continue
         try:
-            result = benches[name]()
+            result = _run_with_deadline(benches[name], stage_timeout)
             for row in result if isinstance(result, list) else [result]:
                 print(json.dumps(row), flush=True)
+        except TimeoutError as e:
+            # The wedged stage thread still holds the device client; any
+            # further device op would hang too. Report and stop timing.
+            tunnel_dead = True
+            print(json.dumps({"metric": name, "error": str(e)}), flush=True)
         except Exception as e:  # one failing config must not hide the rest
             print(
                 json.dumps({"metric": name, "error": f"{type(e).__name__}: {e}"}),
                 flush=True,
             )
+    if tunnel_dead:
+        # Skip interpreter teardown: the abandoned stage thread is wedged
+        # inside the device client and aborts the runtime on normal exit.
+        sys.stdout.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
